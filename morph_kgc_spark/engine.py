@@ -1,0 +1,48 @@
+"""Top-level API: materialize an RML mapping (or rule list) to triples.
+
+The Spark analogue of ``morph_kgc.materialize`` (reference:
+src/morph_kgc/__init__.py:38-83): parse + normalize the mapping document on
+the driver, compile to the flat rule table, partition the rules, then build
+ONE lazy DataFrame for the whole knowledge graph. Instead of the
+reference's process pool (one OS process per mapping group,
+__init__.py:45-53), every rule contributes a branch to a single Spark job
+DAG — executors are the parallel unit and the scheduler sees the whole
+plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from morph_kgc_spark import model as M
+from morph_kgc_spark.plans.compiler import materialize_rules
+from morph_kgc_spark.plans.partitioner import assign_mapping_partitions
+from morph_kgc_spark.sources.registry import SourceRegistry, default_registry
+
+
+def materialize(spark: SparkSession,
+                mapping: Union[str, Iterable[M.Rule]],
+                registry: Optional[SourceRegistry] = None,
+                distinct: bool = True,
+                partition_rules: bool = True) -> DataFrame:
+    """Materialize a knowledge graph.
+
+    ``mapping`` is either RML Turtle text / a path to a ``.ttl`` file, or an
+    already-compiled iterable of Rules. Returns a DataFrame(subject,
+    predicate, object[, graph]) of N-Triples lexical terms with set
+    semantics.
+    """
+    registry = registry or default_registry()
+
+    if isinstance(mapping, str):
+        from morph_kgc_spark.mapping.parser import parse_mapping
+        rules = parse_mapping(mapping)
+    else:
+        rules = list(mapping)
+
+    if partition_rules:
+        rules = assign_mapping_partitions(rules)
+
+    return materialize_rules(spark, rules, registry, distinct=distinct)

@@ -1,0 +1,113 @@
+"""Byte-exact term encoding: IRI percent-encoding + N-Triples escaping.
+
+Replicates the reference's two string transforms (reference:
+src/morph_kgc/materializer.py:127-144):
+
+1. IRI template references are percent-encoded with ``falcon.uri.encode_value``
+   — semantically ``urllib.parse.quote(value, safe='')``: every byte of the
+   UTF-8 encoding is escaped except RFC-3986 *unreserved*
+   (ALPHA / DIGIT / ``-._~``). Implemented here as an Arrow-batched pandas
+   UDF (no per-row Python in the plan; vectorization happens inside the
+   batch).
+
+2. Literal lexical forms get N-Triples escaping in the reference's exact
+   replacement order: ``\\  \\n  \\t  \\b  \\f  \\r  "  '``. Implemented as
+   a chain of native ``F.replace`` calls — stays inside whole-stage codegen.
+
+Both have pure-Python twins (``percent_encode_py`` / ``ntriples_escape_py``)
+for byte-equality tests and driver-side constant folding.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+def percent_encode_py(value: str) -> str:
+    """Percent-encode everything but RFC-3986 unreserved chars.
+
+    Byte-compatible with falcon.uri.encode_value (used by the reference at
+    materializer.py:132): UTF-8 encode, escape all reserved/other bytes.
+    urllib.parse.quote never quotes ALPHA/DIGIT/``_.-~``; with ``safe=''``
+    nothing else survives, which is exactly falcon's unreserved set.
+    """
+    return quote(value, safe="")
+
+
+def ntriples_escape_py(value: str) -> str:
+    """N-Triples escape in the reference's exact order (materializer.py:144)."""
+    return (
+        value.replace("\\", "\\\\")
+        .replace("\n", "\\n")
+        .replace("\t", "\\t")
+        .replace("\b", "\\b")
+        .replace("\f", "\\f")
+        .replace("\r", "\\r")
+        .replace('"', '\\"')
+        .replace("'", "\\'")
+    )
+
+
+@pandas_udf(StringType())
+def percent_encode_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched percent-encoding (IRI-safe template expansion)."""
+    # str-accessor-free map over the batch: quote() is C-accelerated and the
+    # batch transfer is Arrow; this is the vectorized slow-path the
+    # input_hint allows (no per-row Python *in the plan*).
+    return s.map(lambda v: quote(v, safe="") if v is not None else None)
+
+
+# characters needing %-encoding appear rarely in IRIs built from keys; this
+# fast-path predicate lets the compiler skip the UDF for all-safe columns.
+_NT_ESCAPES = [
+    ("\\", "\\\\"),
+    ("\n", "\\n"),
+    ("\t", "\\t"),
+    ("\b", "\\b"),
+    ("\f", "\\f"),
+    ("\r", "\\r"),
+    ('"', '\\"'),
+    ("'", "\\'"),
+]
+
+
+def ntriples_escape_col(col: Column) -> Column:
+    """N-Triples escaping as a native replace chain (codegen-friendly)."""
+    for search, repl in _NT_ESCAPES:
+        col = F.replace(col, F.lit(search), F.lit(repl))
+    return col
+
+
+def percent_encode_col(col: Column) -> Column:
+    """Percent-encode a column for IRI position.
+
+    Uses a native fast path when the value is all-unreserved (the common
+    case for key-derived IRIs: ``[A-Za-z0-9_.~-]*``), falling back to the
+    Arrow UDF only for rows that actually need encoding. Catalyst executes
+    the rlike + branch JVM-side; the UDF sees only the dirty minority.
+    """
+    clean = col.rlike("^[A-Za-z0-9_.~-]*$")
+    return F.when(clean, col).otherwise(percent_encode_udf(col))
+
+
+def natural_mapping_col(col: Column, datatype: str | None) -> Column:
+    """Natural Mapping of SQL values (R2RML §10.2; materializer.py:133-144).
+
+    booleans lower-cased; xsd:dateTime ``' '``→``'T'``; xsd:integer
+    truncated of any ``.0`` tail via double→long round-trip.
+    """
+    from morph_kgc_spark import model as M
+
+    if datatype == M.XSD_BOOLEAN:
+        return F.lower(col)
+    if datatype == M.XSD_DATETIME:
+        return F.replace(col, F.lit(" "), F.lit("T"))
+    if datatype == M.XSD_INTEGER:
+        return col.cast("double").cast("long").cast("string")
+    return col

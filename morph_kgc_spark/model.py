@@ -1,0 +1,173 @@
+"""Rule-table model: the driver-side IR every mapping compiles to.
+
+Mirrors the reference's flat ``rml_df`` rule table (one row per normalized
+TriplesMap × PredicateObjectMap; reference:
+src/morph_kgc/mapping/mapping_constants.py:13-23) but as typed dataclasses.
+Rules are tiny driver-side objects; each compiles to a Spark DataFrame
+expression pipeline in :mod:`morph_kgc_spark.plans.compiler`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace as _dc_replace
+from typing import Optional
+
+# --- term map kinds (reference: src/morph_kgc/constants.py) ---------------
+TEMPLATE = "template"
+CONSTANT = "constant"
+REFERENCE = "reference"
+EXECUTION = "execution"  # FNML function execution
+
+# --- term types ------------------------------------------------------------
+IRI = "iri"
+LITERAL = "literal"
+BLANK_NODE = "blanknode"
+QUOTED_TRIPLE = "quoted"  # RML-star
+
+# --- XSD datatypes that trigger natural-mapping normalization --------------
+XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_DATETIME = XSD + "dateTime"
+XSD_INTEGER = XSD + "integer"
+XSD_DECIMAL = XSD + "decimal"
+XSD_DOUBLE = XSD + "double"
+XSD_DATE = XSD + "date"
+XSD_TIME = XSD + "time"
+XSD_STRING = XSD + "string"
+XSD_HEX_BINARY = XSD + "hexBinary"
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_TEMPLATE_REF_RE = re.compile(r"(?<!\\)\{(.+?)(?<!\\)\}")
+
+
+def references_in_template(template: str) -> list[str]:
+    """References enclosed in non-escaped curly braces.
+
+    Reference: src/morph_kgc/utils.py (get_references_in_template).
+    """
+    return [m.group(1).replace("\\{", "{").replace("\\}", "}")
+            for m in _TEMPLATE_REF_RE.finditer(template)]
+
+
+def template_invariant(template: str) -> str:
+    """Constant prefix of a template before the first reference.
+
+    Drives mapping partitioning (reference:
+    src/morph_kgc/mapping/mapping_partitioner.py:18-33).
+    """
+    m = _TEMPLATE_REF_RE.search(template)
+    return template[: m.start()] if m else template
+
+
+@dataclass(frozen=True)
+class TermMap:
+    """One of subject/predicate/object/graph/datatype/language maps."""
+
+    kind: str                      # TEMPLATE | CONSTANT | REFERENCE | EXECUTION
+    value: str                     # template string / constant / column name / fn id
+    termtype: str = IRI            # IRI | LITERAL | BLANK_NODE | QUOTED_TRIPLE
+
+    def but(self, **kw) -> "TermMap":
+        return _dc_replace(self, **kw)
+
+    @property
+    def references(self) -> list[str]:
+        if self.kind == TEMPLATE:
+            return references_in_template(self.value)
+        if self.kind == REFERENCE:
+            return [self.value]
+        return []
+
+    @property
+    def invariant(self) -> str:
+        """Constant prefix used for disjointness analysis."""
+        if self.kind == CONSTANT:
+            return self.value
+        if self.kind == TEMPLATE:
+            return template_invariant(self.value)
+        return ""  # plain reference / execution: no invariant
+
+
+@dataclass(frozen=True)
+class JoinCondition:
+    child: str   # column in child logical source
+    parent: str  # column in parent logical source
+
+
+@dataclass(frozen=True)
+class Source:
+    """Logical source: a named table/path + optional SQL view query.
+
+    The reference dispatches on source type (materializer.py:58-70); here a
+    Source resolves to a DataFrame via sources.registry.load_source.
+    """
+
+    kind: str                     # "table" | "parquet" | "csv" | "json" | "sql" | "df"
+    value: str                    # table name / path / SQL text / registry key
+    options: dict = field(default_factory=dict)
+
+    def cache_key(self) -> str:
+        return f"{self.kind}::{self.value}::{sorted(self.options.items())!r}"
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One normalized (TriplesMap × PredicateObjectMap) rule."""
+
+    source: Source
+    subject: TermMap
+    predicate: TermMap
+    object: Optional[TermMap] = None
+    graph: Optional[TermMap] = None
+
+    # referencing-object-map join (reference: materializer.py:896-987)
+    parent_source: Optional[Source] = None
+    parent_subject: Optional[TermMap] = None
+    join_conditions: tuple[JoinCondition, ...] = ()
+
+    # literal annotations (object position only)
+    datatype: Optional[TermMap] = None      # rendered as ^^<dt>
+    language: Optional[TermMap] = None      # rendered as @lang
+
+    # RML-star: quoted triples maps (subject/object may be full sub-rules)
+    quoted_subject: Optional["Rule"] = None
+    quoted_object: Optional["Rule"] = None
+
+    triples_map_id: str = ""
+    mapping_partition: str = ""
+
+    def but(self, **kw) -> "Rule":
+        return _dc_replace(self, **kw)
+
+    @property
+    def references(self) -> list[str]:
+        """All child-source columns this rule reads (column pruning).
+
+        Reference: materializer.py:73-103 (_get_references_in_rml_rule).
+        """
+        refs: list[str] = []
+        for tm in (self.subject, self.predicate, self.object,
+                   self.graph, self.datatype, self.language):
+            if tm is not None:
+                refs.extend(tm.references)
+        for jc in self.join_conditions:
+            refs.append(jc.child)
+        if self.quoted_subject is not None:
+            refs.extend(self.quoted_subject.references)
+        if self.quoted_object is not None:
+            refs.extend(self.quoted_object.references)
+        # dedup preserving order
+        seen: set[str] = set()
+        return [r for r in refs if not (r in seen or seen.add(r))]
+
+    @property
+    def parent_references(self) -> list[str]:
+        refs: list[str] = []
+        if self.parent_subject is not None:
+            refs.extend(self.parent_subject.references)
+        for jc in self.join_conditions:
+            refs.append(jc.parent)
+        seen: set[str] = set()
+        return [r for r in refs if not (r in seen or seen.add(r))]

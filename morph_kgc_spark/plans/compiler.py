@@ -1,0 +1,252 @@
+"""Rule → DataFrame expression compiler.
+
+Each :class:`morph_kgc_spark.model.Rule` compiles to a lazy DataFrame
+pipeline::
+
+    scan → select(refs).cast(string) → null-drop → dropDuplicates
+         → [join parent]  → concat-tree term expansion → (s, p, o[, g])
+
+mirroring the reference's per-rule pandas dataflow
+(src/morph_kgc/materializer.py:910-1040) but expressed declaratively so
+Catalyst gets column pruning, NOT-NULL pushdown, and join strategy for free.
+
+Scale notes (100 TB target):
+- templates become ``concat`` trees of native expressions → whole-stage
+  codegen; the percent-encode pandas UDF only fires on rows that actually
+  contain reserved characters (see functions/encoding.percent_encode_col);
+- referencing-object-map joins go through operators/joins.py which
+  broadcasts small parents and can salt skewed keys;
+- set semantics = partition-local dedup at the scan (dropDuplicates is
+  already a partial+final hash aggregate) + one global distinct, pruned per
+  mapping-partition group (plans/partitioner.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from morph_kgc_spark import model as M
+from morph_kgc_spark.functions.encoding import (
+    natural_mapping_col,
+    ntriples_escape_col,
+    ntriples_escape_py,
+    percent_encode_col,
+)
+from morph_kgc_spark.operators.joins import join_child_parent
+
+SourceLoader = Callable[[SparkSession, M.Source], DataFrame]
+
+TRIPLE_COLS = ("subject", "predicate", "object")
+QUAD_COLS = ("subject", "predicate", "object", "graph")
+
+# default NULL lexical forms dropped from every referenced column
+# (reference: src/morph_kgc/config.py:81 — na_values ['', 'nan'])
+DEFAULT_NA_VALUES = ("",)
+
+
+def prepare_source(df: DataFrame, references: Iterable[str],
+                   na_values: Iterable[str] = DEFAULT_NA_VALUES,
+                   dedup: bool = True) -> DataFrame:
+    """Project/prune + str-coerce + null-drop + dedup.
+
+    Reference: materializer.py:37-55 (_preprocess_data): ``data.map(str)``,
+    ``dropna(how='any', subset=refs)``, ``drop_duplicates()``.
+    The string coercion matches pandas ``str()`` for int/double/timestamp
+    because Spark's CAST(x AS STRING) uses the same lexical forms.
+    """
+    refs = list(references)
+    cols = []
+    for r in refs:
+        c = F.col(r).cast("string")
+        for na in na_values:
+            c = F.when(c == F.lit(na), F.lit(None)).otherwise(c)
+        cols.append(c.alias(r))
+    out = df.select(*cols).na.drop("any", subset=refs)
+    if dedup:
+        out = out.dropDuplicates()
+    return out
+
+
+def _template_parts(template: str) -> tuple[list[str], list[str]]:
+    """Split a template into literal parts and references.
+
+    Returns (parts, refs) with len(parts) == len(refs) + 1. Escaped braces
+    in literal parts are unescaped (materializer.py:116).
+    """
+    parts: list[str] = []
+    refs: list[str] = []
+    last = 0
+    for m in M._TEMPLATE_REF_RE.finditer(template):
+        parts.append(template[last:m.start()].replace("\\{", "{").replace("\\}", "}"))
+        refs.append(m.group(1).replace("\\{", "{").replace("\\}", "}"))
+        last = m.end()
+    parts.append(template[last:].replace("\\{", "{").replace("\\}", "}"))
+    return parts, refs
+
+
+def compile_term(tm: M.TermMap, *, datatype: Optional[str] = None,
+                 col_prefix: str = "", wrap: bool = True) -> Column:
+    """Compile a term map to a Column producing the N-Triples lexical form.
+
+    Reference: materializer.py:106-163 (_materialize_template) — constants
+    and literal template parts are emitted verbatim; only *reference values*
+    are percent-encoded (IRI position) or natural-mapped + escaped (literal
+    position); then the whole term is termtype-wrapped.
+    """
+    if tm.kind == M.CONSTANT:
+        # driver-side constant folding (materializer.py:919-923)
+        return F.lit(_wrap_py(tm.value, tm.termtype) if wrap else tm.value)
+
+    template = tm.value if tm.kind == M.TEMPLATE else "{" + tm.value + "}"
+    parts, refs = _template_parts(template)
+
+    pieces: list[Column] = []
+    for part, ref in zip(parts, refs):
+        if part:
+            pieces.append(F.lit(part))
+        col = F.col(col_prefix + ref)
+        if tm.termtype == M.IRI and tm.kind == M.TEMPLATE:
+            col = percent_encode_col(col)
+        elif tm.termtype == M.LITERAL:
+            col = natural_mapping_col(col, datatype)
+            col = ntriples_escape_col(col)
+        pieces.append(col)
+    if parts[-1]:
+        pieces.append(F.lit(parts[-1]))
+
+    term = pieces[0] if len(pieces) == 1 else F.concat(*pieces)
+    return _wrap_col(term, tm.termtype) if wrap else term
+
+
+def _wrap_py(value: str, termtype: str) -> str:
+    if termtype == M.IRI:
+        return f"<{value}>"
+    if termtype == M.BLANK_NODE:
+        return f"_:{value}"
+    if termtype == M.LITERAL:
+        return f'"{ntriples_escape_py(value)}"'
+    return value
+
+
+def _wrap_col(col: Column, termtype: str) -> Column:
+    if termtype == M.IRI:
+        return F.concat(F.lit("<"), col, F.lit(">"))
+    if termtype == M.BLANK_NODE:
+        return F.concat(F.lit("_:"), col)
+    if termtype == M.LITERAL:
+        return F.concat(F.lit('"'), col, F.lit('"'))
+    return col
+
+
+def _object_column(rule: M.Rule, col_prefix: str = "") -> Column:
+    """Object term + optional @lang / ^^<datatype> suffix.
+
+    Reference: materializer.py:213-228.
+    """
+    datatype_iri = (rule.datatype.value
+                    if rule.datatype is not None and rule.datatype.kind == M.CONSTANT
+                    else None)
+    obj = compile_term(rule.object, datatype=datatype_iri, col_prefix=col_prefix)
+    if rule.language is not None:
+        lang = compile_term(rule.language, wrap=False)
+        obj = F.concat(obj, F.lit("@"), lang)
+    elif rule.datatype is not None:
+        dt = compile_term(rule.datatype.but(termtype=M.IRI))
+        obj = F.concat(obj, F.lit("^^"), dt)
+    return obj
+
+
+def compile_rule(spark: SparkSession, rule: M.Rule,
+                 load_source: SourceLoader,
+                 na_values: Iterable[str] = DEFAULT_NA_VALUES) -> DataFrame:
+    """Compile one rule into a DataFrame(subject, predicate, object[, graph])."""
+    refs = rule.references
+
+    if not refs and rule.parent_source is None and rule.quoted_object is None \
+            and rule.quoted_subject is None:
+        # all-constant rule → 1-row placeholder (materializer.py:919-923)
+        base = spark.range(1)
+    else:
+        base = prepare_source(load_source(spark, rule.source), refs,
+                              na_values=na_values)
+
+    col_prefix = ""
+    if rule.parent_source is not None and rule.join_conditions:
+        parent = prepare_source(load_source(spark, rule.parent_source),
+                                rule.parent_references, na_values=na_values)
+        base = join_child_parent(base, parent, rule.join_conditions)
+        col_prefix = "parent_"
+
+    # --- term columns ------------------------------------------------------
+    if rule.quoted_subject is not None:
+        subj = _quoted_triple_col(rule.quoted_subject)
+    else:
+        subj = compile_term(rule.subject)
+
+    pred = compile_term(rule.predicate)
+
+    if rule.quoted_object is not None:
+        obj = _quoted_triple_col(rule.quoted_object)
+    elif rule.parent_source is not None and rule.join_conditions:
+        # referencing object map: object = parent subject over parent_ cols
+        obj = compile_term(rule.parent_subject, col_prefix="parent_")
+    elif rule.parent_subject is not None:
+        # join-less referencing map after self-join elimination: parent
+        # subject map evaluated over the child's own rows
+        obj = compile_term(rule.parent_subject)
+    else:
+        obj = _object_column(rule, col_prefix="")
+
+    out_cols = [subj.alias("subject"), pred.alias("predicate"), obj.alias("object")]
+    if rule.graph is not None:
+        out_cols.append(compile_term(rule.graph).alias("graph"))
+    return base.select(*out_cols)
+
+
+def _quoted_triple_col(sub_rule: M.Rule) -> Column:
+    """RML-star quoted triple ``<< s p o >>`` over the *current* rows.
+
+    Reference: materializer.py:925-962 — with no join condition the parent
+    (quoted) rule is evaluated over the child's rows.
+    """
+    s = compile_term(sub_rule.subject)
+    p = compile_term(sub_rule.predicate)
+    o = _object_column(sub_rule)
+    return F.concat(F.lit("<< "), s, F.lit(" "), p, F.lit(" "), o, F.lit(" >>"))
+
+
+def materialize_rules(spark: SparkSession, rules: list[M.Rule],
+                      load_source: SourceLoader,
+                      distinct: bool = True) -> DataFrame:
+    """Union all rules' triples with set semantics.
+
+    Rules that share a ``mapping_partition`` label are distinct-ed together;
+    groups proven disjoint by the partitioner are unioned WITHOUT a second
+    global distinct — the reference's signature optimization
+    (mapping_partitioner.py:159-358) re-expressed as shuffle pruning.
+    """
+    if not rules:
+        raise ValueError("no rules to materialize")
+
+    n_graph = any(r.graph is not None for r in rules)
+    frames: dict[str, DataFrame] = {}
+    for i, rule in enumerate(rules):
+        df = compile_rule(spark, rule, load_source)
+        if n_graph and "graph" not in df.columns:
+            df = df.withColumn("graph", F.lit(None).cast("string"))
+        key = rule.mapping_partition or f"__rule_{i}"
+        frames[key] = frames[key].unionAll(df) if key in frames else df
+
+    parts = list(frames.values())
+    if distinct:
+        parts = [p.distinct() for p in parts]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    # cross-group distinct only needed when partition labels were absent
+    if distinct and len(frames) > 1 and any(k.startswith("__rule_") for k in frames):
+        out = out.distinct()
+    return out

@@ -1,0 +1,101 @@
+"""Source dispatch: Source spec → DataFrame.
+
+Mirrors the reference's dispatcher (src/morph_kgc/data_source/*,
+materializer.py:58-70) with Spark-native readers. Scans are cached per
+logical source so N rules over one table share one scan subtree (the
+reference re-reads the file per rule; reference README touts mapping
+partitions instead — on Spark a shared cached projection is strictly
+better).
+
+Supported kinds:
+- ``table``      — spark catalog table (Iceberg on a real cluster)
+- ``parquet``    — parquet path
+- ``csv``        — header CSV; ``options`` forwarded (sep, quote, …)
+- ``json``       — JSON lines / multiline via options
+- ``orc``        — ORC path
+- ``sql``        — RML tabular view: SQL over previously registered views
+  (reference runs DuckDB over files, data_file.py:59-60; Spark SQL is the
+  native replacement)
+- ``df``         — in-memory DataFrame registered by name
+  (reference: data_source/python_data.py)
+- ``jdbc``       — relational DB (reference: data_source/relational_db.py);
+  pushdown comes free via the JDBC source
+- ``pandas_any`` — driver-side pandas reader for long-tail formats the
+  reference supports (feather/excel/ods/stata/sas/spss): tiny files only.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from morph_kgc_spark import model as M
+
+
+class SourceRegistry:
+    """Resolves Source specs to DataFrames, caching scans per source."""
+
+    def __init__(self) -> None:
+        self._named: dict[str, DataFrame] = {}
+        self._cache: dict[str, DataFrame] = {}
+
+    def register(self, name: str, df: DataFrame) -> None:
+        """Register an in-memory / pre-built DataFrame source."""
+        self._named[name] = df
+
+    def __call__(self, spark: SparkSession, source: M.Source) -> DataFrame:
+        key = source.cache_key()
+        if key not in self._cache:
+            self._cache[key] = self._load(spark, source)
+        return self._cache[key]
+
+    def _load(self, spark: SparkSession, source: M.Source) -> DataFrame:
+        kind, value, opts = source.kind, source.value, dict(source.options)
+        if kind == "df":
+            return self._named[value]
+        if kind == "table":
+            return spark.read.table(value)
+        if kind == "parquet":
+            return spark.read.parquet(value)
+        if kind == "orc":
+            return spark.read.orc(value)
+        if kind == "csv":
+            opts.setdefault("header", "true")
+            return spark.read.options(**opts).csv(value)
+        if kind == "json":
+            return spark.read.options(**opts).json(value)
+        if kind == "sql":
+            return spark.sql(value)
+        if kind == "jdbc":
+            return spark.read.format("jdbc").options(**opts).load()
+        if kind == "pandas_any":
+            return _pandas_fallback(spark, value, opts)
+        raise ValueError(f"unknown source kind: {kind!r}")
+
+
+def _pandas_fallback(spark: SparkSession, path: str, opts: dict) -> DataFrame:
+    """Long-tail formats via driver-side pandas (tiny inputs only).
+
+    Reference reads these with pandas too (data_file.py:95-138).
+    """
+    import pandas as pd
+
+    fmt = opts.get("format") or path.rsplit(".", 1)[-1].lower()
+    readers: dict[str, Callable] = {
+        "feather": pd.read_feather,
+        "xlsx": pd.read_excel,
+        "xls": pd.read_excel,
+        "ods": pd.read_excel,
+        "dta": pd.read_stata,
+        "sas7bdat": pd.read_sas,
+        "sav": getattr(pd, "read_spss", None),
+    }
+    reader = readers.get(fmt)
+    if reader is None:
+        raise ValueError(f"unsupported pandas fallback format: {fmt!r}")
+    return spark.createDataFrame(reader(path, **opts.get("reader_kwargs", {})))
+
+
+def default_registry() -> SourceRegistry:
+    return SourceRegistry()
