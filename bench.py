@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "triples_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": "...", "cores": N,
+   "triples": N}
+
+The headline metric is KG-materialization throughput (triples/sec) over
+the full multi-rule mapping (union + joins + typed literals + distinct),
+mirroring the reference's triples-count + wall-clock instrumentation
+(reference: src/morph_kgc/__main__.py:40-62).
+
+Operator queries are forced with a noop sink so Catalyst cannot prune the
+projections a count() would skip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("morph-kgc-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def force(df) -> int | None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return None
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+
+    spark = build_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # headline: full KG materialization as ONE job DAG (the engine's real
+    # execution shape: every rule a branch, one union, counted once)
+    kg_names = [n for n in qs if n.startswith("kg_")]
+    t0 = time.time()
+    kg_frames = [qs[name](spark, sf_dir) for name in kg_names]
+    kg_all = kg_frames[0]
+    for f in kg_frames[1:]:
+        kg_all = kg_all.unionAll(f)
+    total_triples = kg_all.count()
+    kg_secs = time.time() - t0
+    timings["kg_materialize_all"] = round(kg_secs, 3)
+
+    for name, fn in qs.items():
+        if name.startswith("kg_"):
+            continue
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "triples_per_sec",
+        "value": round(total_triples / kg_secs, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cores": cores,
+        "triples": total_triples,
+        "total_sec": round(sum(timings.values()), 3),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

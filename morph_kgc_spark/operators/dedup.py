@@ -1,0 +1,190 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Designed for 100 TB corpora:
+- exact dedup is one hash-aggregate (map-side partial combine free);
+- MinHash signatures are computed with ONE shuffle (explode shingles →
+  groupBy doc with 16 min() aggregates), LSH banding turns the quadratic
+  candidate problem into an equi-join on (band, bucket);
+- SimHash is 32 conditional-sum aggregates over exploded tokens — one
+  shuffle, then Hamming-adjacent pairs come from the banded prefix join;
+- n-gram Jaccard is exact pairwise similarity restricted to
+  candidate pairs that share ≥1 shingle (posting-list join — never the
+  full cross product);
+- embedding near-dup blocks on a coarse key (label / IVF cell) before the
+  exact cosine.
+
+Every hash is md5-derived (functions/hashing.py) so the DuckDB oracle
+computes identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from morph_kgc_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    N_PERMS,
+    P31,
+    h64,
+    perm,
+)
+from morph_kgc_spark.operators.text import tokens, word_ngrams
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate clusters by md5(text).
+
+    Returns (content_hash, keep_id, n_dups) — keep_id is the min id, the
+    canonical survivor. One hash-partitioned aggregate; at 100 TB this is
+    the cheapest possible dedup (no sort, partials combine map-side).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    return (
+        df.select(F.col(id_col), F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3) -> DataFrame:
+    """(id, sig_0..sig_15): min over shingles of 16 md5-derived permutations.
+
+    One explode + one groupBy — signature width N_PERMS=16.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    base = h64(F.col("shingle"))
+    aggs = [F.min(perm(base, i)).alias(f"sig_{i}") for i in range(N_PERMS)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Banding: 4 bands × 4 rows; bucket = md5 of the band's signature slice.
+    The pair join is an equi-join on (band, bucket) — skew-safe because
+    bucket cardinality ~ corpus size / dup-cluster size.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"sig_{b * LSH_ROWS + r}").cast("string")
+                for r in range(LSH_ROWS)
+            ])).alias("bucket"),
+        )
+        for b in range(LSH_BANDS)
+    ])
+    # one explode instead of LSH_BANDS unions (which would recompute the
+    # signature aggregation per band); persist before the self-join so the
+    # two join sides share one computation of the signatures.
+    bands = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = bands.persist()
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b_ = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b_, on=["band", "bucket"], how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 32) -> DataFrame:
+    """(id, simhash): 32-bit SimHash over word tokens.
+
+    Per-bit majority vote of token h64 hashes; computed as `bits`
+    conditional sums over the exploded token stream — a single shuffle.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    h = h64(F.col("token"))
+    sums = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, k: int = 10) -> DataFrame:
+    """Top-k most similar pairs by exact n-gram Jaccard.
+
+    Candidates come from the shingle posting-list self-join (pairs sharing
+    ≥1 shingle), so cost ~ Σ posting_list², not |corpus|². Returns
+    (id_a, id_b, jaccard) ordered deterministically
+    (jaccard desc, id_a, id_b).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle", how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(k)
+
+
+def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        block_col: str, threshold: float = 0.8) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocks.
+
+    Blocks on ``block_col`` (a label / coarse IVF cell) so the pairwise
+    cosine never crosses blocks — at scale, block with k-means cell ids.
+    Vectors are cast to array<double> and the dot product is evaluated in
+    index order so the oracle's arithmetic matches bit-for-bit.
+    """
+    v = df.select(
+        F.col(id_col), F.col(block_col).alias("block"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a = v.select(F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), "block", F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    return (
+        a.join(b, on="block", how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (whole-stage codegen; no UDFs): token
+counting, n-gram extraction, language-ID heuristic, quality scoring, and a
+position-weighted document fingerprint. Each has an exact DuckDB SQL twin
+in :mod:`morph_kgc_spark.oracles` built from the same constants.
+
+Scale: every operator is per-row (embarrassingly parallel, no shuffle);
+the expensive ones (n-grams) stay inside higher-order array functions so
+nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from morph_kgc_spark.functions.hashing import P31, h64
+
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic; deterministic and mirrored into the DuckDB oracle.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "mit"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "en"),
+    "fr": ("le", "la", "les", "de", "et", "un"),
+    "zh": ("de", "shi", "bu", "le", "zai", "you"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (single-space split; pre-cleaned corpora)."""
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_ngrams(tok: Column, n: int) -> Column:
+    """Word n-grams via 1-based element_at; empty array when too short.
+
+    sequence(1, k) is guarded because Spark's sequence(1, 0) counts *down*.
+    """
+    k = F.size(tok) - (n - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tok, i + j) for j in range(n)]
+    )
+    return F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), gram)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_chars, mean_token_len) — no shuffle.
+
+    mean token length is computed as non-space-chars / tokens (exact
+    integer arithmetic → bit-identical across engines).
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_char = F.length(F.col(text_col))
+    non_space = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars"),
+        F.round(non_space.cast("double") / n_tok.cast("double"), 6).alias("mean_token_len"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID: argmax of per-language hit counts,
+    alphabetical tie-break. (id, pred_lang, score)."""
+    t = tokens(F.col(text_col))
+
+    def _score(words: tuple[str, ...]):
+        return F.size(F.filter(t, lambda x: x.isin(*words)))
+
+    scores = {lang: _score(words) for lang, words in LANG_PROFILES.items()}
+    langs = sorted(LANG_PROFILES)  # alphabetical tie-break
+    best = scores[langs[0]]
+    pred = F.lit(langs[0])
+    for lang in langs[1:]:
+        is_better = scores[lang] > best
+        pred = F.when(is_better, F.lit(lang)).otherwise(pred)
+        best = F.when(is_better, scores[lang]).otherwise(best)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.cast("long").alias("score"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality heuristic in [0,1]:
+    0.3·min(1, tokens/100) + 0.4·uniq_ratio + 0.3·min(1, mean_len/8).
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t).cast("double")
+    uniq = F.size(F.array_distinct(t)).cast("double")
+    non_space = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double")
+    mean_len = non_space / n_tok
+    score = (
+        0.3 * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + 0.4 * (uniq / n_tok)
+        + 0.3 * F.least(F.lit(1.0), mean_len / F.lit(8.0))
+    )
+    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Position-weighted rolling document fingerprint mod P31.
+
+    fp = Σ_i ((h64(token_i) % P) · i) % P  (i 1-based), computed inside
+    array lambdas — no explode, no shuffle, portable to the oracle.
+    """
+    t = tokens(F.col(text_col))
+    k = F.size(t)
+    terms = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: (h64(F.element_at(t, i)) % F.lit(P31)) * i.cast("long") % F.lit(P31),
+    )
+    fp = F.aggregate(
+        F.when(k >= 1, terms).otherwise(F.array().cast("array<long>")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc + x) % F.lit(P31),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

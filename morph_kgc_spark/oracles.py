@@ -1,0 +1,426 @@
+"""DuckDB oracle SQL twins for every Spark query in __spark_entry__.
+
+Each generator returns ANSI-ish DuckDB SQL that reproduces the Spark
+query's result *bit-for-bit* (the driver compares order-insensitive value
+hashes). Shared numeric constants come from functions/hashing.py and
+operators/text.py so both engines are generated from one definition point.
+
+Portability rules baked in here:
+- hashes are md5-derived: Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+  DuckDB ``CAST('0x'||substr(md5(x),1,15) AS UBIGINT)``;
+- float work is cast to DOUBLE and summed in list-index order
+  (list_transform/list_sum vs F.transform/F.aggregate), then rounded;
+- integer arithmetic stays below 2^62 (P31 modulus) in both engines.
+"""
+
+from __future__ import annotations
+
+from morph_kgc_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    N_PERMS,
+    P31,
+    h64_sql,
+    perm_sql,
+)
+from morph_kgc_spark.operators.text import LANG_PROFILES
+
+EX = "http://example.com/"
+FOAF_NAME = "http://xmlns.com/foaf/0.1/name"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# ---------------------------------------------------------------------------
+# KG-construction oracles
+# ---------------------------------------------------------------------------
+
+
+def kg_customer_triples() -> str:
+    """Template subject + constant predicate + literal object (RMLTC0001a
+    shape). The subject template embeds c_name, whose '#' must be
+    percent-encoded in IRI position; the literal object stays raw."""
+    return f"""
+SELECT DISTINCT
+  '<{EX}customer/' || replace(c_name, '#', '%23') || '>' AS subject,
+  '<{FOAF_NAME}>' AS predicate,
+  '"' || c_name || '"' AS object
+FROM customer
+"""
+
+
+def kg_rdf_type() -> str:
+    return f"""
+SELECT DISTINCT
+  '<{EX}supplier/' || CAST(s_suppkey AS VARCHAR) || '>' AS subject,
+  '<{RDF_TYPE}>' AS predicate,
+  '<{EX}Supplier>' AS object
+FROM supplier
+"""
+
+
+def kg_typed_literals() -> str:
+    """xsd:decimal via DECIMAL(12,2) cast; xsd:dateTime with ' '→'T'."""
+    return f"""
+SELECT DISTINCT subject, predicate, object FROM (
+  SELECT
+    '<{EX}order/' || CAST(o_orderkey AS VARCHAR) || '>' AS subject,
+    '<{EX}totalPrice>' AS predicate,
+    '"' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        || '"^^<{XSD}decimal>' AS object
+  FROM orders
+  UNION ALL
+  SELECT
+    '<{EX}order/' || CAST(o_orderkey AS VARCHAR) || '>' AS subject,
+    '<{EX}orderDate>' AS predicate,
+    '"' || replace(CAST(o_orderdate AS VARCHAR), ' ', 'T')
+        || '"^^<{XSD}dateTime>' AS object
+  FROM orders
+)
+"""
+
+
+def kg_join_customer_nation() -> str:
+    """Referencing object map with joinCondition (R2RMLTC0009a shape)."""
+    return f"""
+SELECT DISTINCT
+  '<{EX}customer/' || CAST(c_custkey AS VARCHAR) || '>' AS subject,
+  '<{EX}nation>' AS predicate,
+  '<{EX}nation/' || n_name || '>' AS object
+FROM customer JOIN nation ON CAST(c_nationkey AS VARCHAR) = CAST(n_nationkey AS VARCHAR)
+"""
+
+
+def kg_language_tags() -> str:
+    return f"""
+SELECT DISTINCT
+  '<{EX}doc/' || CAST(doc_id AS VARCHAR) || '>' AS subject,
+  '<{EX}text>' AS predicate,
+  '"' || replace(replace(text, chr(92), chr(92)||chr(92)), '"', chr(92)||'"')
+      || '"@' || lang AS object
+FROM documents
+"""
+
+
+def kg_blank_nodes() -> str:
+    return f"""
+SELECT DISTINCT
+  '_:region' || CAST(r_regionkey AS VARCHAR) AS subject,
+  '<{FOAF_NAME}>' AS predicate,
+  '"' || r_name || '"' AS object
+FROM region
+"""
+
+
+def kg_union_distinct() -> str:
+    """Two rules emitting overlapping triples → set semantics collapses."""
+    return f"""
+SELECT DISTINCT
+  '<{EX}customer/' || CAST(k AS VARCHAR) || '>' AS subject,
+  '<{RDF_TYPE}>' AS predicate,
+  '<{EX}Customer>' AS object
+FROM (
+  SELECT o_custkey AS k FROM orders
+  UNION ALL
+  SELECT c_custkey AS k FROM customer
+)
+"""
+
+
+def kg_self_join_elimination() -> str:
+    """Join-less referencing map (child==parent source & refs): the engine
+    rewrites the join away; the oracle is the plain projection."""
+    return f"""
+SELECT DISTINCT
+  '<{EX}part/' || CAST(p_partkey AS VARCHAR) || '>' AS subject,
+  '<{EX}sameAs>' AS predicate,
+  '<{EX}part/' || CAST(p_partkey AS VARCHAR) || '>' AS object
+FROM part
+"""
+
+
+def kg_lineitem_orders_salted() -> str:
+    """Skewed-key join (lineitem ⋈ orders) exercised through the salted
+    join path; result must equal the plain join."""
+    return f"""
+SELECT DISTINCT
+  '<{EX}lineitem/' || CAST(l_orderkey AS VARCHAR) || '/' || CAST(l_linenumber AS VARCHAR) || '>' AS subject,
+  '<{EX}order>' AS predicate,
+  '<{EX}order/' || CAST(o_orderkey AS VARCHAR) || '/' || o_orderstatus || '>' AS object
+FROM lineitem JOIN orders ON CAST(l_orderkey AS VARCHAR) = CAST(o_orderkey AS VARCHAR)
+"""
+
+
+def kg_ntriples_escaping() -> str:
+    """Literal escaping over synthesized dirty strings (backslash, quote,
+    newline, tab) — replicates the reference's escape chain order."""
+    backslash = "chr(92)"
+    newline = "chr(10)"
+    tab = "chr(9)"
+    dirty = f"""(c_mktsegment || {backslash} || '"q"' || {newline} || {tab} || '''')"""
+    esc = dirty
+    esc = f"replace({esc}, {backslash}, {backslash}||{backslash})"
+    esc = f"replace({esc}, {newline}, {backslash}||'n')"
+    esc = f"replace({esc}, {tab}, {backslash}||'t')"
+    esc = f"""replace({esc}, '"', {backslash}||'"')"""
+    esc = f"replace({esc}, '''', {backslash}||'''')"
+    return f"""
+SELECT DISTINCT
+  '<{EX}customer/' || CAST(c_custkey AS VARCHAR) || '>' AS subject,
+  '<{EX}dirty>' AS predicate,
+  '"' || {esc} || '"' AS object
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text oracles
+# ---------------------------------------------------------------------------
+
+_TOKENS = "string_split(text, ' ')"
+
+
+def _shingles_cte(n: int = 3) -> str:
+    """CTE producing distinct (doc_id, shingle) word n-grams."""
+    concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(t) - {n - 1}, 0)),
+             i -> {concat})) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM grams)
+"""
+
+
+def dedup_exact() -> str:
+    return """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def dedup_minhash_lsh() -> str:
+    h = h64_sql("shingle")
+    sig_cols = ",\n         ".join(
+        f"min({perm_sql(h, i)}) AS sig_{i}" for i in range(N_PERMS)
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"CAST(sig_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_shingles_cte(3)},
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def dedup_simhash(bits: int = 32) -> str:
+    h = h64_sql("token")
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         {sums}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {combine} AS simhash FROM agg
+"""
+
+
+def dedup_ngram_jaccard_topk(k: int = 10) -> str:
+    return f"""
+WITH {_shingles_cte(3)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT {k}
+"""
+
+
+_DOT = ("list_sum(list_transform(generate_series(1, len(a.v)), "
+        "i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))")
+
+
+def dedup_embedding_cosine(threshold: float = 0.8) -> str:
+    norm = ("sqrt(list_sum(list_transform({x}.v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))")
+    return f"""
+WITH v AS (SELECT vec_id, label AS block, embedding AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_DOT} / ({norm.format(x='a')} * {norm.format(x='b')}), 6) AS cos_sim
+  FROM v a JOIN v b ON a.block = b.block
+  WHERE a.vec_id < b.vec_id
+)
+SELECT * FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
+def ann_cosine_topk(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
+q AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))), 6) AS cos_sim
+  FROM c a, q b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def text_token_stats() -> str:
+    return f"""
+SELECT doc_id,
+       len({_TOKENS}) AS n_tokens,
+       length(text) AS n_chars,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(len({_TOKENS}) AS DOUBLE), 6) AS mean_token_len
+FROM documents
+"""
+
+
+def text_language_id() -> str:
+    langs = sorted(LANG_PROFILES)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        score_cols.append(
+            f"len(list_filter({_TOKENS}, x -> x IN ({words}))) AS s_{lang}"
+        )
+    # argmax with alphabetical tie-break: strict > against running best
+    pred = f"'{langs[0]}'"
+    best = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM documents
+)
+SELECT doc_id, {pred} AS pred_lang, CAST({best} AS BIGINT) AS score
+FROM scored
+"""
+
+
+def text_quality_score() -> str:
+    t = _TOKENS
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len({t}) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct({t})) AS DOUBLE) AS uniq,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) AS non_space
+  FROM documents
+)
+SELECT doc_id,
+       round(0.3 * least(CAST(1.0 AS DOUBLE), n_tok / CAST(100.0 AS DOUBLE))
+           + 0.4 * (uniq / n_tok)
+           + 0.3 * least(CAST(1.0 AS DOUBLE), (non_space / n_tok) / CAST(8.0 AS DOUBLE)), 6)
+       AS quality
+FROM s
+"""
+
+
+def text_fingerprint() -> str:
+    h = h64_sql("t[i]")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents)
+SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(
+           generate_series(1, len(t)),
+           i -> (({h}) % {P31}) * i % {P31})), 0) % {P31} AS BIGINT) AS fingerprint
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization + windowed rollup
+# ---------------------------------------------------------------------------
+
+
+def events_sessionize(gap_s: int = 1800) -> str:
+    # second-truncated epochs to match Spark's unix_timestamp()
+    ep = "epoch(date_trunc('second', {t}))"
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN {ep.format(t='ts')} - {ep.format(t='lag(ts) OVER w')} > {gap_s}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       CAST({ep.format(t='min(ts)')} AS BIGINT) AS start_epoch,
+       CAST({ep.format(t='max(ts)')} AS BIGINT) AS end_epoch
+FROM sessions
+GROUP BY user_id, session_no
+"""
+
+
+def events_hourly_rollup() -> str:
+    return """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DOUBLE)), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
