@@ -259,20 +259,80 @@ def q_events_hourly_rollup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full KG materialization over sf0.001 (multi-rule union +
-    join + typed literals + set semantics)."""
-    sf = "/root/testdata/sf0.001"
-    frames = [
-        q_kg_customer_triples(spark, sf),
-        q_kg_rdf_type(spark, sf),
-        q_kg_join_customer_nation(spark, sf),
-        q_kg_union_distinct(spark, sf),
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG materialization as ONE plan: all rules compiled into a
+    single union-of-branches DAG with per-partition-group distincts —
+    the engine's real execution shape (one job, not one per rule)."""
+    _utc(spark)
+    reg = default_registry()
+    reg.register("orders_typed", _read(spark, sf_dir, "orders").withColumn(
+        "o_price", F.col("o_totalprice").cast("decimal(12,2)")))
+    reg.register("customer_dirty", _read(spark, sf_dir, "customer").withColumn(
+        "dirty", F.concat(F.col("c_mktsegment"), F.lit('\\"q"\n\t\''))))
+
+    mk_type = lambda src, key: Rule(  # noqa: E731
+        source=_pq(sf_dir, src),
+        subject=TermMap(TEMPLATE, EX + "customer/{" + key + "}", IRI),
+        predicate=TermMap(CONSTANT, RDF_TYPE, IRI),
+        object=TermMap(CONSTANT, EX + "Customer", IRI),
+    )
+    rules = [
+        Rule(source=_pq(sf_dir, "customer"),
+             subject=TermMap(TEMPLATE, EX + "customer/{c_name}", IRI),
+             predicate=TermMap(CONSTANT, FOAF_NAME, IRI),
+             object=TermMap(REFERENCE, "c_name", LITERAL)),
+        Rule(source=_pq(sf_dir, "supplier"),
+             subject=TermMap(TEMPLATE, EX + "supplier/{s_suppkey}", IRI),
+             predicate=TermMap(CONSTANT, RDF_TYPE, IRI),
+             object=TermMap(CONSTANT, EX + "Supplier", IRI)),
+        Rule(source=Source("df", "orders_typed"),
+             subject=TermMap(TEMPLATE, EX + "order/{o_orderkey}", IRI),
+             predicate=TermMap(CONSTANT, EX + "totalPrice", IRI),
+             object=TermMap(REFERENCE, "o_price", LITERAL),
+             datatype=TermMap(CONSTANT, XSD_DECIMAL, IRI)),
+        Rule(source=Source("df", "orders_typed"),
+             subject=TermMap(TEMPLATE, EX + "order/{o_orderkey}", IRI),
+             predicate=TermMap(CONSTANT, EX + "orderDate", IRI),
+             object=TermMap(REFERENCE, "o_orderdate", LITERAL),
+             datatype=TermMap(CONSTANT, XSD_DATETIME, IRI)),
+        Rule(source=_pq(sf_dir, "customer"),
+             subject=TermMap(TEMPLATE, EX + "customer/{c_custkey}", IRI),
+             predicate=TermMap(CONSTANT, EX + "nation", IRI),
+             parent_source=_pq(sf_dir, "nation"),
+             parent_subject=TermMap(TEMPLATE, EX + "nation/{n_name}", IRI),
+             join_conditions=(JoinCondition("c_nationkey", "n_nationkey"),)),
+        Rule(source=_pq(sf_dir, "documents"),
+             subject=TermMap(TEMPLATE, EX + "doc/{doc_id}", IRI),
+             predicate=TermMap(CONSTANT, EX + "text", IRI),
+             object=TermMap(REFERENCE, "text", LITERAL),
+             language=TermMap(REFERENCE, "lang")),
+        Rule(source=_pq(sf_dir, "region"),
+             subject=TermMap(TEMPLATE, "region{r_regionkey}", BLANK_NODE),
+             predicate=TermMap(CONSTANT, FOAF_NAME, IRI),
+             object=TermMap(REFERENCE, "r_name", LITERAL)),
+        mk_type("orders", "o_custkey"),
+        mk_type("customer", "c_custkey"),
+        Rule(source=_pq(sf_dir, "part"),
+             subject=TermMap(TEMPLATE, EX + "part/{p_partkey}", IRI),
+             predicate=TermMap(CONSTANT, EX + "sameAs", IRI),
+             parent_subject=TermMap(TEMPLATE, EX + "part/{p_partkey}", IRI)),
+        Rule(source=_pq(sf_dir, "lineitem"),
+             subject=TermMap(TEMPLATE, EX + "lineitem/{l_orderkey}/{l_linenumber}", IRI),
+             predicate=TermMap(CONSTANT, EX + "order", IRI),
+             parent_source=_pq(sf_dir, "orders"),
+             parent_subject=TermMap(TEMPLATE, EX + "order/{o_orderkey}/{o_orderstatus}", IRI),
+             join_conditions=(JoinCondition("l_orderkey", "o_orderkey"),)),
+        Rule(source=Source("df", "customer_dirty"),
+             subject=TermMap(TEMPLATE, EX + "customer/{c_custkey}", IRI),
+             predicate=TermMap(CONSTANT, EX + "dirty", IRI),
+             object=TermMap(REFERENCE, "dirty", LITERAL)),
     ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionAll(f)
-    return out
+    return materialize(spark, rules, registry=reg)
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -59,13 +59,8 @@ def main() -> None:
 
     # headline: full KG materialization as ONE job DAG (the engine's real
     # execution shape: every rule a branch, one union, counted once)
-    kg_names = [n for n in qs if n.startswith("kg_")]
     t0 = time.time()
-    kg_frames = [qs[name](spark, sf_dir) for name in kg_names]
-    kg_all = kg_frames[0]
-    for f in kg_frames[1:]:
-        kg_all = kg_all.unionAll(f)
-    total_triples = kg_all.count()
+    total_triples = entrymod.flagship(spark, sf_dir).count()
     kg_secs = time.time() - t0
     timings["kg_materialize_all"] = round(kg_secs, 3)
 

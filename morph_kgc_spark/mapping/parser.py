@@ -1,0 +1,252 @@
+"""RML/R2RML mapping document → flat rule table.
+
+Driver-side compile mirroring the reference's pipeline
+(src/morph_kgc/mapping/mapping_parser.py:516-578): parse Turtle →
+normalize shortcuts/vocabulary → per (TriplesMap × PredicateObjectMap ×
+predicate × object) emit one :class:`morph_kgc_spark.model.Rule` →
+self-join elimination. Both legacy vocab (rr:/rml:) and the new
+unified RML namespace (http://w3id.org/rml/) are accepted.
+
+Supported surface: logical sources (file source + tableName + rml:query +
+iterator/referenceFormulation), subject/predicate/object/graph maps with
+template/constant/reference/column, termType, rr:class, datatype,
+language, parentTriplesMap + joinCondition. FNML and gather maps are
+handled by dedicated modules once their vocab appears.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from morph_kgc_spark import model as M
+from morph_kgc_spark.mapping.turtle import Graph, RDF_TYPE, Term
+
+# namespaces
+RR = "http://www.w3.org/ns/r2rml#"
+RML_L = "http://semweb.mmlab.be/ns/rml#"
+RML_N = "http://w3id.org/rml/"
+QL = "http://semweb.mmlab.be/ns/ql#"
+
+
+def _props(*names: str) -> list[str]:
+    """Expand a property name over all three vocab namespaces."""
+    out = []
+    for n in names:
+        out += [RR + n, RML_L + n, RML_N + n]
+    return out
+
+
+def _first(g: Graph, s: Term, *names: str) -> Optional[Term]:
+    for p in _props(*names):
+        v = g.value(s, p)
+        if v is not None:
+            return v
+    return None
+
+
+def _all(g: Graph, s: Term, *names: str) -> list[Term]:
+    out: list[Term] = []
+    for p in _props(*names):
+        out.extend(g.objects(s, p))
+    return out
+
+
+_EXT_KIND = {
+    ".csv": "csv", ".tsv": "csv", ".json": "json", ".parquet": "parquet",
+    ".orc": "orc", ".xlsx": "pandas_any", ".feather": "pandas_any",
+}
+
+
+def _source_for(g: Graph, tm: Term, base_dir: str) -> M.Source:
+    ls = _first(g, tm, "logicalSource", "logicalTable")
+    if ls is None:
+        raise ValueError("triples map without logical source")
+    table = _first(g, ls, "tableName")
+    if table is not None:
+        return M.Source("table", table[1])
+    query = _first(g, ls, "query", "sqlQuery")
+    if query is not None:
+        return M.Source("sql", query[1])
+    src = _first(g, ls, "source")
+    if src is None:
+        raise ValueError("logical source without rml:source")
+    path = src[1]
+    if not os.path.isabs(path):
+        path = os.path.join(base_dir, path)
+    ext = os.path.splitext(path)[1].lower()
+    kind = _EXT_KIND.get(ext, "csv")
+    options: dict = {}
+    if ext == ".tsv":
+        options["sep"] = "\t"
+    it = _first(g, ls, "iterator")
+    if it is not None:
+        options["iterator"] = it[1]
+    return M.Source(kind, path, options)
+
+
+_TERMTYPE = {
+    RR + "IRI": M.IRI, RML_N + "IRI": M.IRI,
+    RR + "Literal": M.LITERAL, RML_N + "Literal": M.LITERAL,
+    RR + "BlankNode": M.BLANK_NODE, RML_N + "BlankNode": M.BLANK_NODE,
+}
+
+
+def _term_map(g: Graph, node: Term, default_termtype: str,
+              position: str) -> M.TermMap:
+    """Compile one term-map bnode (template/constant/reference/column)."""
+    tt_node = _first(g, node, "termType")
+    termtype = _TERMTYPE.get(tt_node[1], default_termtype) if tt_node else None
+
+    tpl = _first(g, node, "template")
+    if tpl is not None:
+        return M.TermMap(M.TEMPLATE, tpl[1], termtype or default_termtype)
+    const = _first(g, node, "constant")
+    if const is not None:
+        if const[0] == "iri":
+            return M.TermMap(M.CONSTANT, const[1], termtype or M.IRI)
+        return M.TermMap(M.CONSTANT, const[1], termtype or M.LITERAL)
+    ref = _first(g, node, "reference", "column")
+    if ref is not None:
+        default = M.LITERAL if position == "object" else default_termtype
+        return M.TermMap(M.REFERENCE, ref[1], termtype or default)
+    raise ValueError(f"term map with no template/constant/reference in {position}")
+
+
+def _shortcut_or_map(g: Graph, parent: Term, map_names: list[str],
+                     shortcut_names: list[str], default_termtype: str,
+                     position: str) -> list[M.TermMap]:
+    """Handle both `rr:xxxMap [ ... ]` and the constant shortcut `rr:xxx`."""
+    out: list[M.TermMap] = []
+    for node in _all(g, parent, *map_names):
+        out.append(_term_map(g, node, default_termtype, position))
+    for const in _all(g, parent, *shortcut_names):
+        if const[0] == "iri":
+            out.append(M.TermMap(M.CONSTANT, const[1], M.IRI))
+        else:
+            out.append(M.TermMap(M.CONSTANT, const[1], M.LITERAL))
+    return out
+
+
+def _lang_datatype(g: Graph, om: Term) -> tuple[Optional[M.TermMap], Optional[M.TermMap]]:
+    lang = _first(g, om, "language")
+    if lang is not None:
+        return None, M.TermMap(M.CONSTANT, lang[1], M.LITERAL)
+    lang_map = _first(g, om, "languageMap")
+    if lang_map is not None:
+        return None, _term_map(g, lang_map, M.LITERAL, "language")
+    dt = _first(g, om, "datatype")
+    if dt is not None:
+        return M.TermMap(M.CONSTANT, dt[1], M.IRI), None
+    dt_map = _first(g, om, "datatypeMap")
+    if dt_map is not None:
+        return _term_map(g, dt_map, M.IRI, "datatype"), None
+    return None, None
+
+
+def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
+    """Compile a mapping document (Turtle text or path) to Rules."""
+    if "\n" not in mapping and os.path.exists(mapping):
+        base_dir = os.path.dirname(os.path.abspath(mapping))
+        with open(mapping, encoding="utf-8") as f:
+            mapping = f.read()
+    g = Graph.parse(mapping)
+
+    # discover triples maps: anything with a logical source/table
+    tms: list[Term] = []
+    seen: set[Term] = set()
+    for p in _props("logicalSource", "logicalTable"):
+        for s in g.subjects(p):
+            if s not in seen:
+                seen.add(s)
+                tms.append(s)
+
+    tm_index = {tm: f"tm{i}" for i, tm in enumerate(tms)}
+    rules: list[M.Rule] = []
+
+    for tm in tms:
+        source = _source_for(g, tm, base_dir)
+
+        subj_maps = _shortcut_or_map(g, tm, ["subjectMap"], ["subject"],
+                                     M.IRI, "subject")
+        if not subj_maps:
+            raise ValueError(f"triples map {tm} without subject map")
+        subject = subj_maps[0]
+        subj_node = _first(g, tm, "subjectMap")
+
+        # subject-level graph maps apply to every POM (mapping_parser.py:179-199)
+        tm_graphs: list[M.TermMap] = []
+        if subj_node is not None:
+            tm_graphs = _shortcut_or_map(g, subj_node, ["graphMap"], ["graph"],
+                                         M.IRI, "graph")
+
+        def emit(predicate: M.TermMap, pom_graphs: list[M.TermMap], **kw) -> None:
+            graphs = pom_graphs or tm_graphs or [None]
+            for graph in graphs:
+                if graph is not None and graph.kind == M.CONSTANT and \
+                        graph.value == RR + "defaultGraph":
+                    graph = None
+                rules.append(M.Rule(
+                    source=source, subject=subject, predicate=predicate,
+                    graph=graph, triples_map_id=tm_index[tm], **kw,
+                ))
+
+        # rr:class → rdf:type POM (mapping_parser.py:160-176)
+        if subj_node is not None:
+            for cls in _all(g, subj_node, "class"):
+                emit(M.TermMap(M.CONSTANT, RDF_TYPE, M.IRI), [],
+                     object=M.TermMap(M.CONSTANT, cls[1], M.IRI))
+
+        for pom in _all(g, tm, "predicateObjectMap"):
+            predicates = _shortcut_or_map(g, pom, ["predicateMap"],
+                                          ["predicate"], M.IRI, "predicate")
+            pom_graphs = _shortcut_or_map(g, pom, ["graphMap"], ["graph"],
+                                          M.IRI, "graph")
+            object_specs: list[dict] = []
+            for om in _all(g, pom, "objectMap"):
+                parent_tm = _first(g, om, "parentTriplesMap")
+                if parent_tm is not None:
+                    jcs = []
+                    for jc in _all(g, om, "joinCondition"):
+                        child = _first(g, jc, "child")
+                        parent = _first(g, jc, "parent")
+                        jcs.append(M.JoinCondition(child[1], parent[1]))
+                    parent_source = _source_for(g, parent_tm, base_dir)
+                    parent_subject = _shortcut_or_map(
+                        g, parent_tm, ["subjectMap"], ["subject"], M.IRI,
+                        "subject")[0]
+                    if jcs:
+                        object_specs.append(dict(
+                            parent_source=parent_source,
+                            parent_subject=parent_subject,
+                            join_conditions=tuple(jcs),
+                        ))
+                    elif parent_source.cache_key() == source.cache_key():
+                        # self-join elimination (mapping_parser.py:807-831)
+                        object_specs.append(dict(parent_subject=parent_subject))
+                    else:
+                        raise ValueError(
+                            "referencing object map without join condition "
+                            "over a different logical source")
+                    continue
+                datatype, language = _lang_datatype(g, om)
+                object_specs.append(dict(
+                    object=_term_map(g, om, M.IRI, "object"),
+                    datatype=datatype, language=language,
+                ))
+            for const in _all(g, pom, "object"):
+                if const[0] == "iri":
+                    object_specs.append(dict(object=M.TermMap(M.CONSTANT, const[1], M.IRI)))
+                else:
+                    dt = const[2] if len(const) > 3 and const[2] else None
+                    lang = const[3] if len(const) > 3 else None
+                    object_specs.append(dict(
+                        object=M.TermMap(M.CONSTANT, const[1], M.LITERAL),
+                        datatype=M.TermMap(M.CONSTANT, dt, M.IRI) if dt else None,
+                        language=M.TermMap(M.CONSTANT, lang, M.LITERAL) if lang else None,
+                    ))
+            for predicate in predicates:
+                for spec in object_specs:
+                    emit(predicate, pom_graphs, **spec)
+
+    return rules

@@ -1,0 +1,81 @@
+"""End-to-end: RML Turtle mapping → rules → materialized triples.
+
+Models the reference's test pattern (golden output comparison, e.g.
+test/rml-core/csv/RMLTC0001a) with hand-computed expected triple sets.
+"""
+
+import os
+
+from morph_kgc_spark import materialize
+from morph_kgc_spark.mapping.parser import parse_mapping
+from morph_kgc_spark.mapping.turtle import parse_turtle
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+EX = "http://example.com/"
+FOAF = "http://xmlns.com/foaf/0.1/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def test_turtle_parser_core():
+    triples = parse_turtle("""
+@prefix ex: <http://example.com/> .
+ex:s a ex:T ; ex:p "lit"@en, "42"^^ex:dt ; ex:q [ ex:r ex:o ] .
+""")
+    spo = {(s[1] if s[0] == "iri" else "_b", p[1], o[:2]) for s, p, o in triples}
+    assert (EX + "s", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            ("iri", EX + "T")) in spo
+    lits = [o for s, p, o in triples if o[0] == "literal"]
+    assert ("literal", "lit", None, "en") in lits
+    assert ("literal", "42", EX + "dt", None) in lits
+
+
+def test_parse_mapping_rule_count():
+    rules = parse_mapping(os.path.join(FIXTURES, "mapping_basic.ttl"))
+    # rr:class + name + id + join (TM1) + name (TM2) = 5 rules
+    assert len(rules) == 5
+    kinds = sorted(
+        (r.predicate.value.rsplit("/", 1)[-1].rsplit("#", 1)[-1]) for r in rules
+    )
+    assert kinds == ["id", "name", "name", "plays", "type"]
+    join_rule = [r for r in rules if r.join_conditions][0]
+    assert join_rule.join_conditions[0].child == "Sport"
+    assert join_rule.parent_subject.value == EX + "sport/{ID}"
+
+
+def test_materialize_mapping_end_to_end(spark):
+    out = materialize(spark, os.path.join(FIXTURES, "mapping_basic.ttl"))
+    triples = {tuple(r) for r in out.collect()}
+
+    expected = {
+        # rr:class
+        (f"<{EX}student/10>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", f"<{FOAF}Person>"),
+        (f"<{EX}student/20>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", f"<{FOAF}Person>"),
+        (f"<{EX}student/30>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", f"<{FOAF}Person>"),
+        # names (literal, default termtype from reference)
+        (f"<{EX}student/10>", f"<{FOAF}name>", '"Venus Williams"'),
+        (f"<{EX}student/20>", f"<{FOAF}name>", '"Demi Moore"'),
+        (f"<{EX}student/30>", f"<{FOAF}name>", '"Ana Laura"'),
+        # typed ids
+        (f"<{EX}student/10>", f"<{EX}id>", f'"10"^^<{XSD}integer>'),
+        (f"<{EX}student/20>", f"<{EX}id>", f'"20"^^<{XSD}integer>'),
+        (f"<{EX}student/30>", f"<{EX}id>", f'"30"^^<{XSD}integer>'),
+        # join: row 20 has NULL Sport → dropped
+        (f"<{EX}student/10>", f"<{EX}plays>", f"<{EX}sport/110>"),
+        (f"<{EX}student/30>", f"<{EX}plays>", f"<{EX}sport/112>"),
+        # TM2
+        (f"<{EX}sport/110>", f"<{FOAF}name>", '"Tennis"'),
+        (f"<{EX}sport/112>", f"<{FOAF}name>", '"Darts"'),
+    }
+    assert triples == expected
+
+
+def test_mapping_partitions_assigned():
+    from morph_kgc_spark.plans.partitioner import assign_mapping_partitions
+
+    rules = assign_mapping_partitions(
+        parse_mapping(os.path.join(FIXTURES, "mapping_basic.ttl")))
+    parts = {r.mapping_partition for r in rules}
+    # different predicate invariants → several disjoint groups
+    assert len(parts) >= 3
+    assert all(r.mapping_partition for r in rules)
