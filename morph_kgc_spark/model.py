@@ -63,11 +63,18 @@ def template_invariant(template: str) -> str:
 
 @dataclass(frozen=True)
 class TermMap:
-    """One of subject/predicate/object/graph/datatype/language maps."""
+    """One of subject/predicate/object/graph/datatype/language maps.
+
+    For ``kind == EXECUTION``, ``value`` is the function IRI and ``args``
+    binds parameter names to argument term maps (constants / references /
+    templates / nested executions) — mirroring the reference's fnml_df
+    rows (src/morph_kgc/mapping/mapping_constants.py:29-31).
+    """
 
     kind: str                      # TEMPLATE | CONSTANT | REFERENCE | EXECUTION
     value: str                     # template string / constant / column name / fn id
     termtype: str = IRI            # IRI | LITERAL | BLANK_NODE | QUOTED_TRIPLE
+    args: tuple = ()               # EXECUTION only: ((param_name, TermMap), ...)
 
     def but(self, **kw) -> "TermMap":
         return _dc_replace(self, **kw)
@@ -78,6 +85,11 @@ class TermMap:
             return references_in_template(self.value)
         if self.kind == REFERENCE:
             return [self.value]
+        if self.kind == EXECUTION:
+            refs: list[str] = []
+            for _, arg in self.args:
+                refs.extend(arg.references)
+            return refs
         return []
 
     @property

@@ -100,6 +100,25 @@ def compile_term(tm: M.TermMap, *, datatype: Optional[str] = None,
         # driver-side constant folding (materializer.py:919-923)
         return F.lit(_wrap_py(tm.value, tm.termtype) if wrap else tm.value)
 
+    if tm.kind == M.EXECUTION:
+        # FNML function execution (reference: fnml_executer.py:69-122,
+        # _materialize_fnml_execution materializer.py:165-197): the
+        # function output is treated like a reference value — encoded /
+        # natural-mapped / escaped per termtype, then wrapped.
+        col, explodes = compile_execution(tm, col_prefix=col_prefix)
+        if explodes:
+            raise ValueError(
+                f"list-returning function {tm.value!r} must be exploded at "
+                "the rule level (object position only)")
+        if tm.termtype == M.IRI:
+            # "IRI values are assumed correct and NOT percent encoded",
+            # only trimmed (reference: materializer.py:183-186)
+            col = F.trim(col)
+        elif tm.termtype == M.LITERAL:
+            col = natural_mapping_col(col, datatype)
+            col = ntriples_escape_col(col)
+        return _wrap_col(col, tm.termtype) if wrap else col
+
     template = tm.value if tm.kind == M.TEMPLATE else "{" + tm.value + "}"
     parts, refs = _template_parts(template)
 
@@ -119,6 +138,30 @@ def compile_term(tm: M.TermMap, *, datatype: Optional[str] = None,
 
     term = pieces[0] if len(pieces) == 1 else F.concat(*pieces)
     return _wrap_col(term, tm.termtype) if wrap else term
+
+
+def compile_execution(tm: M.TermMap, col_prefix: str = ""):
+    """Compile an EXECUTION term map: resolve args, apply the built-in.
+
+    Constants are passed as python strings (some builders need them
+    driver-side, e.g. date formats); references/templates/nested
+    executions become Columns. Returns (Column, explodes).
+    """
+    from morph_kgc_spark.functions.builtins import apply_function
+
+    kwargs = {}
+    for name, arg in tm.args:
+        if arg.kind == M.CONSTANT:
+            kwargs[name] = arg.value
+        elif arg.kind == M.EXECUTION:
+            col, explodes = compile_execution(arg, col_prefix)
+            if explodes:
+                raise ValueError("nested list-returning executions unsupported")
+            kwargs[name] = col
+        else:  # reference / template, raw value (no termtype wrapping)
+            kwargs[name] = compile_term(arg.but(termtype=""), wrap=False,
+                                        col_prefix=col_prefix)
+    return apply_function(tm.value, **kwargs)
 
 
 def _wrap_py(value: str, termtype: str) -> str:
@@ -187,6 +230,16 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
         subj = compile_term(rule.subject)
 
     pred = compile_term(rule.predicate)
+
+    # list-returning FNML execution in object position → row explode
+    # (reference: fnml_executer.py:120 ``data.explode(fnml_execution)``)
+    if rule.object is not None and rule.object.kind == M.EXECUTION:
+        col, explodes = compile_execution(rule.object, col_prefix="")
+        if explodes:
+            base = base.withColumn("__fnml", F.explode(col)) \
+                       .na.drop("any", subset=["__fnml"])
+            rule = rule.but(object=rule.object.but(
+                kind=M.REFERENCE, value="__fnml", args=()))
 
     if rule.quoted_object is not None:
         obj = _quoted_triple_col(rule.quoted_object)

@@ -1,0 +1,115 @@
+"""FNML function executions: built-ins, composition, explode semantics.
+
+Mirrors the reference's rml-fnml suite shapes (test/rml-fnml/RMLFNOTC*)
+via the programmatic rule API.
+"""
+
+import pandas as pd
+
+from morph_kgc_spark import model as M
+from morph_kgc_spark.functions.builtins import GREL, bif_dict, udf
+from morph_kgc_spark.plans.compiler import compile_rule
+from morph_kgc_spark.sources.registry import default_registry
+
+EX = "http://example.com/"
+
+
+def _reg(spark, pdf):
+    reg = default_registry()
+    reg.register("t", spark.createDataFrame(pdf))
+    return reg
+
+
+def _rule(obj: M.TermMap, **kw) -> M.Rule:
+    return M.Rule(
+        source=M.Source("df", "t"),
+        subject=M.TermMap(M.TEMPLATE, EX + "{ID}", M.IRI),
+        predicate=M.TermMap(M.CONSTANT, EX + "p", M.IRI),
+        object=obj, **kw,
+    )
+
+
+def test_function_in_object_position(spark):
+    reg = _reg(spark, pd.DataFrame({"ID": ["1"], "Name": ["venus WILLIAMS"]}))
+    obj = M.TermMap(M.EXECUTION, GREL + "toUpperCase", M.LITERAL,
+                    args=(("string", M.TermMap(M.REFERENCE, "Name")),))
+    [r] = compile_rule(spark, _rule(obj), reg).collect()
+    assert r.object == '"VENUS WILLIAMS"'
+
+
+def test_function_composition(spark):
+    reg = _reg(spark, pdf := pd.DataFrame({"ID": ["1"], "Name": [" Ana "]}))
+    inner = M.TermMap(M.EXECUTION, GREL + "string_trim",
+                      args=(("string", M.TermMap(M.REFERENCE, "Name")),))
+    obj = M.TermMap(M.EXECUTION, GREL + "toLowerCase", M.LITERAL,
+                    args=(("string", inner),))
+    [r] = compile_rule(spark, _rule(obj), reg).collect()
+    assert r.object == '"ana"'
+
+
+def test_function_in_predicate_position(spark):
+    # RMLFNOTC0004: function builds the predicate IRI
+    reg = _reg(spark, pd.DataFrame({"ID": ["1"], "p": ["KNOWS"]}))
+    pred = M.TermMap(M.EXECUTION, GREL + "toLowerCase", M.IRI,
+                     args=(("string", M.TermMap(M.TEMPLATE, EX + "{p}")),))
+    rule = M.Rule(
+        source=M.Source("df", "t"),
+        subject=M.TermMap(M.TEMPLATE, EX + "{ID}", M.IRI),
+        predicate=pred,
+        object=M.TermMap(M.CONSTANT, "x", M.LITERAL),
+    )
+    [r] = compile_rule(spark, rule, reg).collect()
+    assert r.predicate == "<http://example.com/knows>"
+
+
+def test_split_explode(spark):
+    reg = _reg(spark, pd.DataFrame({"ID": ["1"], "langs": ["en,es,de"]}))
+    obj = M.TermMap(M.EXECUTION, GREL + "string_split_explode", M.LITERAL,
+                    args=(("string", M.TermMap(M.REFERENCE, "langs")),
+                          ("separator", M.TermMap(M.CONSTANT, ","))))
+    rows = compile_rule(spark, _rule(obj), reg).collect()
+    assert sorted(r.object for r in rows) == ['"de"', '"en"', '"es"']
+
+
+def test_string_split_stringified_quirk(spark):
+    # quirk parity: string_split returns the str() of a python list
+    reg = _reg(spark, pd.DataFrame({"ID": ["1"], "v": ["a,b"]}))
+    obj = M.TermMap(M.EXECUTION, GREL + "string_split", M.LITERAL,
+                    args=(("string", M.TermMap(M.REFERENCE, "v")),
+                          ("separator", M.TermMap(M.CONSTANT, ","))))
+    [r] = compile_rule(spark, _rule(obj), reg).collect()
+    # literal path N-Triples-escapes the quotes, like the reference
+    from morph_kgc_spark.functions.encoding import ntriples_escape_py
+
+    assert r.object == '"' + ntriples_escape_py("['a', 'b']") + '"'
+
+
+def test_controls_if_and_round(spark):
+    reg = _reg(spark, pd.DataFrame(
+        {"ID": ["1", "2"], "flag": ["true", "false"], "n": ["3,6", "2.4"]}))
+    obj = M.TermMap(M.EXECUTION, GREL + "controls_if", M.LITERAL,
+                    args=(("bool_expression", M.TermMap(M.REFERENCE, "flag")),
+                          ("value_true", M.TermMap(M.CONSTANT, "yes")),
+                          ("value_false", M.TermMap(M.CONSTANT, "no"))))
+    rows = {r.subject: r.object for r in compile_rule(spark, _rule(obj), reg).collect()}
+    assert rows == {f"<{EX}1>": '"yes"', f"<{EX}2>": '"no"'}
+
+    obj2 = M.TermMap(M.EXECUTION, GREL + "math_round", M.LITERAL,
+                     args=(("number", M.TermMap(M.REFERENCE, "n")),))
+    rows2 = {r.subject: r.object for r in compile_rule(spark, _rule(obj2), reg).collect()}
+    assert rows2 == {f"<{EX}1>": '"4"', f"<{EX}2>": '"2"'}
+
+
+def test_user_plugin_udf(spark):
+    @udf(EX + "fn/shout")
+    def shout(string):
+        from pyspark.sql import functions as F
+
+        return F.concat(F.upper(string), F.lit("!"))
+
+    assert EX + "fn/shout" in bif_dict
+    reg = _reg(spark, pd.DataFrame({"ID": ["1"], "v": ["hey"]}))
+    obj = M.TermMap(M.EXECUTION, EX + "fn/shout", M.LITERAL,
+                    args=(("string", M.TermMap(M.REFERENCE, "v")),))
+    [r] = compile_rule(spark, _rule(obj), reg).collect()
+    assert r.object == '"HEY!"'

@@ -59,9 +59,13 @@ def run(cores: int, pages: int, repeats: int) -> tuple[int, float]:
 
 
 def main() -> None:
-    pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "1500000"))
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
-    n_lo, n_hi = 2, 8
+    pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "3000000"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    # 1 vs 4: the only N→4N pair that stays inside this host's FREE
+    # physical capacity (~16 phys cores minus ~6 cores of tenant noise;
+    # each pandas-UDF stage doubles process count) — see BENCH.md
+    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
+    n_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
     triples, t_lo = run(n_lo, pages, repeats)
     _, t_hi = run(n_hi, pages, repeats)
     tp_lo, tp_hi = triples / t_lo, triples / t_hi
