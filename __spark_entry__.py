@@ -201,6 +201,33 @@ def q_kg_ntriples_escaping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_kg_gather_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RML-CC named container (rdf:Bag of order IRIs per customer)."""
+    from morph_kgc_spark.operators.gather import RDF_BAG, gather_triples
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("ck"),
+        F.concat(F.lit(f"<{EX}order/"), F.col("o_orderkey").cast("string"),
+                 F.lit(">")).alias("o_iri"),
+    )
+    return gather_triples(
+        orders,
+        subject_col=F.concat(F.lit(f"<{EX}customer/"), F.col("ck"), F.lit(">")),
+        predicate_iri=EX + "orders",
+        gather_refs=["o_iri"],
+        gather_as=RDF_BAG,
+        value_termtype=None,  # values are pre-built lexical IRIs
+        head_col=F.concat(F.lit(f"<{EX}orderbag/"), F.col("ck"), F.lit(">")),
+    ).distinct()
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, "vec_id", "embedding", cell_col="label",
+                      k=5, nprobe=1)
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -218,8 +245,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
+    # 0.3 is the near-dup knee for these synthetic embeddings (within-
+    # label p99 cosine ≈ 0.29) — yields a small non-empty dup set
     return D.embedding_dup_pairs(_read(spark, sf_dir, "embeddings"),
-                                 "vec_id", "embedding", "label", threshold=0.8)
+                                 "vec_id", "embedding", "label", threshold=0.3)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -347,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_self_join_elimination": q_kg_self_join_elimination,
         "kg_lineitem_orders_salted": q_kg_lineitem_orders_salted,
         "kg_ntriples_escaping": q_kg_ntriples_escaping,
+        "kg_gather_bag": q_kg_gather_bag,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -374,11 +405,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_self_join_elimination": oracles.kg_self_join_elimination(),
         "kg_lineitem_orders_salted": oracles.kg_lineitem_orders_salted(),
         "kg_ntriples_escaping": oracles.kg_ntriples_escaping(),
+        "kg_gather_bag": oracles.kg_gather_bag(),
+        "ann_ivf_topk": oracles.ann_ivf_topk(),
         "dedup_exact": oracles.dedup_exact(),
         "dedup_minhash_lsh": oracles.dedup_minhash_lsh(),
         "dedup_simhash": oracles.dedup_simhash(),
         "dedup_ngram_jaccard": oracles.dedup_ngram_jaccard_topk(),
-        "dedup_embedding_cosine": oracles.dedup_embedding_cosine(),
+        "dedup_embedding_cosine": oracles.dedup_embedding_cosine(0.3),
         "ann_cosine_topk": oracles.ann_cosine_topk(),
         "text_token_stats": oracles.text_token_stats(),
         "text_language_id": oracles.text_language_id(),

@@ -72,6 +72,16 @@ def main() -> None:
         force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    # the web pipeline (north_star): pages are generated in-JVM, so this
+    # measures the full extract→detect→link→materialize path at a fixed
+    # 1M-page workload regardless of sf
+    from morph_kgc_spark.pipeline.pages import run_pipeline
+
+    t0 = time.time()
+    pipeline_triples = run_pipeline(spark, 1_000_000).count()
+    pipeline_secs = time.time() - t0
+    timings["web_pipeline_1m_pages"] = round(pipeline_secs, 3)
+
     result = {
         "metric": "triples_per_sec",
         "value": round(total_triples / kg_secs, 1),
@@ -80,6 +90,7 @@ def main() -> None:
         "sf": sf_dir,
         "cores": cores,
         "triples": total_triples,
+        "pipeline_triples_per_sec": round(pipeline_triples / pipeline_secs, 1),
         "total_sec": round(sum(timings.values()), 3),
     }
     print(json.dumps(result))

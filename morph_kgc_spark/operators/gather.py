@@ -44,14 +44,21 @@ RDF_NIL = f"<{RDF}nil>"
 RDF_TYPE = f"<{RDF}type>"
 
 
-def _value_term(val: Column, termtype: str, datatype: Optional[str] = None) -> Column:
-    """Wrap a gathered value in its N-Triples lexical form."""
+def _value_term(val: Column, termtype: Optional[str], datatype: Optional[str] = None) -> Column:
+    """Wrap a gathered value in its N-Triples lexical form.
+
+    ``termtype=None`` means the column already holds a full lexical term
+    (e.g. a pre-built ``<iri>``) — used when values are whole IRIs that
+    must not be percent-encoded again.
+    """
     from morph_kgc_spark.functions.encoding import (
         natural_mapping_col,
         ntriples_escape_col,
         percent_encode_col,
     )
 
+    if termtype is None:
+        return val
     if termtype == M.IRI:
         return F.concat(F.lit("<"), percent_encode_col(val), F.lit(">"))
     out = F.concat(F.lit('"'), ntriples_escape_col(natural_mapping_col(val, datatype)), F.lit('"'))

@@ -298,6 +298,75 @@ SELECT * FROM pairs WHERE cos_sim >= {threshold}
 """
 
 
+def kg_gather_bag() -> str:
+    """RML-CC named container: one rdf:Bag of order IRIs per customer.
+    Membership order = lexicographic IRI order (the melt/sort semantics).
+    DuckDB zips parallel unnests, giving (pos, term) pairs."""
+    o_iri = "'<" + EX + "order/' || CAST(o_orderkey AS VARCHAR) || '>'"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    return f"""
+WITH l AS (
+  SELECT o_custkey,
+         list({o_iri} ORDER BY {o_iri}) AS vals
+  FROM orders GROUP BY o_custkey
+)
+SELECT DISTINCT subject, predicate, object FROM (
+  SELECT '<{EX}customer/' || CAST(o_custkey AS VARCHAR) || '>' AS subject,
+         '<{EX}orders>' AS predicate,
+         '<{EX}orderbag/' || CAST(o_custkey AS VARCHAR) || '>' AS object
+  FROM l
+  UNION ALL
+  SELECT '<{EX}orderbag/' || CAST(o_custkey AS VARCHAR) || '>',
+         '<{rdf}type>', '<{rdf}Bag>'
+  FROM l
+  UNION ALL
+  SELECT '<{EX}orderbag/' || CAST(o_custkey AS VARCHAR) || '>',
+         '<{rdf}_' || CAST(unnest(generate_series(1, len(vals))) AS VARCHAR) || '>',
+         unnest(vals)
+  FROM l
+)
+"""
+
+
+def ann_ivf_topk(k: int = 5, n_queries: int = 10, nprobe: int = 1) -> str:
+    """IVF two-stage ANN: rank cells by centroid dot product, exact
+    cosine inside the probed cell only."""
+    dot_qc = ("list_sum(list_transform(generate_series(1, 64), "
+              "i -> CAST(qv[i] AS DOUBLE) * centroid[i]))")
+    dot_qv = ("list_sum(list_transform(generate_series(1, 64), "
+              "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))")
+    return f"""
+WITH c AS (SELECT vec_id, label AS cell, embedding AS v FROM embeddings),
+cent AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+    SELECT cell, t.i AS pos, avg(CAST(v[t.i] AS DOUBLE)) AS m
+    FROM c, range(1, 65) t(i)
+    GROUP BY cell, t.i
+  ) GROUP BY cell
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {n_queries}),
+probed AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({dot_qc}, 6) DESC, cent.cell) AS cr
+    FROM q, cent
+  ) WHERE cr <= {nprobe}
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         round({dot_qv.replace('cv', 'c.v')}, 6) AS cos_sim
+  FROM probed JOIN c ON c.cell = probed.cell
+  WHERE c.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def ann_cosine_topk(k: int = 5, n_queries: int = 10) -> str:
     return f"""
 WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),

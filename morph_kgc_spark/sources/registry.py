@@ -64,7 +64,18 @@ class SourceRegistry:
             opts.setdefault("header", "true")
             return spark.read.options(**opts).csv(value)
         if kind == "json":
-            return spark.read.options(**opts).json(value)
+            from morph_kgc_spark.sources.hierarchical import json_source
+
+            return json_source(
+                spark, value,
+                iterator=opts.get("iterator", "$.*"),
+                multi_line=opts.get("multiLine", True),
+                flatten=opts.get("flatten", True),
+            )
+        if kind == "xml":
+            from morph_kgc_spark.sources.hierarchical import xml_source
+
+            return xml_source(spark, value, row_tag=opts.get("rowTag", "row"))
         if kind == "sql":
             return spark.sql(value)
         if kind == "jdbc":
