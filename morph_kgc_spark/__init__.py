@@ -22,6 +22,7 @@ Everything in the hot path is either a native Column expression
 from morph_kgc_spark.model import Rule, TermMap, JoinCondition
 from morph_kgc_spark.plans.compiler import materialize_rules, compile_rule
 from morph_kgc_spark.engine import materialize
+from morph_kgc_spark.config import materialize_from_config
 
 __version__ = "0.1.0"
 
@@ -31,5 +32,6 @@ __all__ = [
     "JoinCondition",
     "materialize",
     "materialize_rules",
+    "materialize_from_config",
     "compile_rule",
 ]

@@ -88,12 +88,15 @@ def percent_encode_col(col: Column) -> Column:
     """Percent-encode a column for IRI position.
 
     Uses a native fast path when the value is all-unreserved (the common
-    case for key-derived IRIs: ``[A-Za-z0-9_.~-]*``), falling back to the
-    Arrow UDF only for rows that actually need encoding. Catalyst executes
-    the rlike + branch JVM-side; the UDF sees only the dirty minority.
+    case for key-derived IRIs: ``[A-Za-z0-9_.~-]*``). Catalyst's
+    ArrowEvalPython still evaluates the UDF argument for every row (no
+    lazy branches), so the dirty-only column is materialized as NULL for
+    clean rows — the Arrow batch ships nulls and the python worker does
+    zero work on them.
     """
     clean = col.rlike("^[A-Za-z0-9_.~-]*$")
-    return F.when(clean, col).otherwise(percent_encode_udf(col))
+    dirty_only = F.when(clean, F.lit(None)).otherwise(col)
+    return F.when(clean, col).otherwise(percent_encode_udf(dirty_only))
 
 
 def natural_mapping_col(col: Column, datatype: str | None) -> Column:

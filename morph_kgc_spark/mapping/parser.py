@@ -92,11 +92,117 @@ _TERMTYPE = {
 }
 
 
+PARAM_ALIASES = {
+    # GREL/FnO parameter IRIs → built-in kwarg names (mirrors the
+    # reference's @bif keyword declarations, built_in_functions.py)
+    "valueParam": "string",
+    "param_any_e": "string",
+    "stringParam": "string",
+    "param_string_sep": "separator",
+    "param_string_pattern": "format_code",
+    "modeParam": "mode",
+    "bool_b": "bool_expression",
+    "param_b": "bool_expression",
+    "any_true": "value_true",
+    "any_false": "value_false",
+    "p_any_e": "number",
+    "param_n": "number",
+    "param_find": "old",
+    "param_replace": "new",
+    "param_int_i_from": "from_index",
+    "param_int_i_opt_to": "to_index",
+    "p_array_a": "array_str",
+    "param_a": "array_str",
+    "startParam": "str1",
+    "endParam": "str2",
+    "delimiterParam": "delimiter",
+}
+
+
+def _param_name(iri: str) -> str:
+    local = iri.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+    return PARAM_ALIASES.get(local, local)
+
+
+def _function_execution(g: Graph, exec_node: Term, termtype: str) -> M.TermMap:
+    """Compile an FNML execution node (rml:function + rml:input*)."""
+    fn = _first(g, exec_node, "function")
+    if fn is None:
+        raise ValueError("functionExecution without rml:function")
+    args = []
+    for inp in _all(g, exec_node, "input"):
+        param = _first(g, inp, "parameter")
+        if param is None:
+            pm = _first(g, inp, "parameterMap")
+            param = _first(g, pm, "constant") if pm is not None else None
+        if param is None:
+            raise ValueError("rml:input without parameter")
+        vm = _first(g, inp, "inputValueMap")
+        if vm is None:
+            raise ValueError("rml:input without inputValueMap")
+        nested = _first(g, vm, "functionExecution")
+        if nested is not None:
+            arg = _function_execution(g, nested, M.LITERAL)
+        else:
+            arg = _term_map(g, vm, M.LITERAL, "fn-arg")
+        args.append((_param_name(param[1]), arg))
+    return M.TermMap(M.EXECUTION, fn[1], termtype, args=tuple(args))
+
+
+def _gather_spec(g: Graph, om: Term) -> M.GatherSpec:
+    """Parse rml:gather (an RDF collection of value maps) + rml:gatherAs."""
+    gather_head = _first(g, om, "gather")
+    gather_as = _first(g, om, "gatherAs")
+    if gather_as is None:
+        raise ValueError("rml:gather without rml:gatherAs")
+    refs: list[str] = []
+    termtype = M.LITERAL
+    node = gather_head
+    rdf_first = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    rdf_rest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+    rdf_nil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+    while node is not None and node != ("iri", rdf_nil):
+        item = g.value(node, rdf_first)
+        if item is None:
+            break
+        ref = _first(g, item, "reference", "column")
+        if ref is None:
+            raise ValueError("gather value maps must be references")
+        refs.append(ref[1])
+        tt = _first(g, item, "termType")
+        if tt is not None:
+            termtype = _TERMTYPE.get(tt[1], M.LITERAL)
+        node = g.value(node, rdf_rest)
+    head: M.TermMap | None = None
+    tpl = _first(g, om, "template")
+    if tpl is not None:
+        head = M.TermMap(M.TEMPLATE, tpl[1], M.IRI)
+    else:
+        const = _first(g, om, "constant")
+        if const is not None:
+            head = M.TermMap(M.CONSTANT, const[1], M.IRI)
+    strategy = _first(g, om, "strategy")
+    allow_empty = _first(g, om, "allowEmptyListAndContainer")
+    return M.GatherSpec(
+        references=tuple(refs),
+        gather_as=gather_as[1],
+        value_termtype=termtype,
+        head=head,
+        strategy=(strategy[1].rsplit("/", 1)[-1] if strategy else "append"),
+        allow_empty=bool(allow_empty and str(allow_empty[1]).lower() == "true"),
+    )
+
+
 def _term_map(g: Graph, node: Term, default_termtype: str,
               position: str) -> M.TermMap:
     """Compile one term-map bnode (template/constant/reference/column)."""
     tt_node = _first(g, node, "termType")
     termtype = _TERMTYPE.get(tt_node[1], default_termtype) if tt_node else None
+
+    fn_exec = _first(g, node, "functionExecution")
+    if fn_exec is not None:
+        default = M.LITERAL if position == "object" else default_termtype
+        return _function_execution(g, fn_exec, termtype or default)
 
     tpl = _first(g, node, "template")
     if tpl is not None:
@@ -204,6 +310,9 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
                                           M.IRI, "graph")
             object_specs: list[dict] = []
             for om in _all(g, pom, "objectMap"):
+                if _first(g, om, "gather") is not None:
+                    object_specs.append(dict(gather=_gather_spec(g, om)))
+                    continue
                 parent_tm = _first(g, om, "parentTriplesMap")
                 if parent_tm is not None:
                     jcs = []

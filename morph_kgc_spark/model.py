@@ -125,6 +125,24 @@ class Source:
 
 
 @dataclass(frozen=True)
+class GatherSpec:
+    """RML-CC collection/container gather in object position.
+
+    ``head`` present → named collection (the object map's own
+    template/constant is the collection node); absent → unnamed (a fresh
+    deterministic bnode per group).
+    """
+
+    references: tuple          # gather value columns (≥2 → melt)
+    gather_as: str             # full IRI: rdf:List | Bag | Seq | Alt
+    value_termtype: str = LITERAL
+    value_datatype: Optional[str] = None
+    head: Optional[TermMap] = None
+    strategy: str = "append"   # rml:append (only materialized strategy)
+    allow_empty: bool = False
+
+
+@dataclass(frozen=True)
 class Rule:
     """One normalized (TriplesMap × PredicateObjectMap) rule."""
 
@@ -147,6 +165,9 @@ class Rule:
     quoted_subject: Optional["Rule"] = None
     quoted_object: Optional["Rule"] = None
 
+    # RML-CC gather (object position)
+    gather: Optional[GatherSpec] = None
+
     triples_map_id: str = ""
     mapping_partition: str = ""
 
@@ -166,6 +187,10 @@ class Rule:
                 refs.extend(tm.references)
         for jc in self.join_conditions:
             refs.append(jc.child)
+        if self.gather is not None:
+            refs.extend(self.gather.references)
+            if self.gather.head is not None:
+                refs.extend(self.gather.head.references)
         if self.quoted_subject is not None:
             refs.extend(self.quoted_subject.references)
         if self.quoted_object is not None:

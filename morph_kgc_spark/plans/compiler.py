@@ -49,7 +49,8 @@ DEFAULT_NA_VALUES = ("",)
 
 def prepare_source(df: DataFrame, references: Iterable[str],
                    na_values: Iterable[str] = DEFAULT_NA_VALUES,
-                   dedup: bool = True) -> DataFrame:
+                   dedup: bool = True,
+                   drop_null_subset: Iterable[str] | None = None) -> DataFrame:
     """Project/prune + str-coerce + null-drop + dedup.
 
     Reference: materializer.py:37-55 (_preprocess_data): ``data.map(str)``,
@@ -58,13 +59,20 @@ def prepare_source(df: DataFrame, references: Iterable[str],
     because Spark's CAST(x AS STRING) uses the same lexical forms.
     """
     refs = list(references)
+    null_subset = list(drop_null_subset) if drop_null_subset is not None else refs
+    # plain IsNotNull first: it is implied by the full null-semantics
+    # filter below but, unlike a CASE over a cast, it pushes down to the
+    # parquet scan (row-group/page skipping at 100 TB)
+    out = df.na.drop("any", subset=null_subset) if null_subset else df
     cols = []
     for r in refs:
         c = F.col(r).cast("string")
         for na in na_values:
             c = F.when(c == F.lit(na), F.lit(None)).otherwise(c)
         cols.append(c.alias(r))
-    out = df.select(*cols).na.drop("any", subset=refs)
+    out = out.select(*cols)
+    if null_subset:
+        out = out.na.drop("any", subset=null_subset)
     if dedup:
         out = out.dropDuplicates()
     return out
@@ -206,6 +214,9 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
                  load_source: SourceLoader,
                  na_values: Iterable[str] = DEFAULT_NA_VALUES) -> DataFrame:
     """Compile one rule into a DataFrame(subject, predicate, object[, graph])."""
+    if rule.gather is not None:
+        return _compile_gather_rule(spark, rule, load_source, na_values)
+
     refs = rule.references
 
     if not refs and rule.parent_source is None and rule.quoted_object is None \
@@ -257,6 +268,41 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
     if rule.graph is not None:
         out_cols.append(compile_term(rule.graph).alias("graph"))
     return base.select(*out_cols)
+
+
+def _compile_gather_rule(spark: SparkSession, rule: M.Rule,
+                         load_source: SourceLoader,
+                         na_values: Iterable[str]) -> DataFrame:
+    """RML-CC gather rule → collection/container triples.
+
+    Null handling differs from plain rules: rows with null *gather*
+    values stay (they determine empty collections when
+    allowEmptyListAndContainer), only null subject refs drop.
+    """
+    from morph_kgc_spark.operators.gather import gather_triples
+
+    g = rule.gather
+    subject_refs = rule.subject.references + (
+        g.head.references if g.head is not None else [])
+    all_refs = list(dict.fromkeys(subject_refs + list(g.references)))
+    base = prepare_source(load_source(spark, rule.source), all_refs,
+                          na_values=na_values, dedup=True,
+                          drop_null_subset=subject_refs)
+
+    if rule.predicate.kind != M.CONSTANT:
+        raise ValueError("gather rules need a constant predicate map")
+
+    return gather_triples(
+        base,
+        subject_col=compile_term(rule.subject),
+        predicate_iri=rule.predicate.value,
+        gather_refs=list(g.references),
+        gather_as=g.gather_as,
+        value_termtype=g.value_termtype,
+        value_datatype=g.value_datatype,
+        head_col=compile_term(g.head) if g.head is not None else None,
+        allow_empty=g.allow_empty,
+    )
 
 
 def _quoted_triple_col(sub_rule: M.Rule) -> Column:

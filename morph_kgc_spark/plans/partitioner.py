@@ -25,6 +25,11 @@ def _invariants(rule: M.Rule) -> tuple[str, str, str, str]:
     def inv(tm) -> str:
         return tm.invariant if tm is not None else ""
 
+    # gather rules also emit rdf:first/rest/_n triples with bnode/list
+    # subjects — no useful invariant; conservatively collide with all
+    if rule.gather is not None:
+        return ("", "", "", "")
+
     # object position: a referencing object map's object is the parent
     # subject; quoted maps have '<< ' prefix
     if rule.quoted_object is not None:
