@@ -201,6 +201,40 @@ def q_kg_ntriples_escaping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_kg_named_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph map → N-Quads 4-column output."""
+    reg = default_registry()
+    reg.register("cust_typed", _read(spark, sf_dir, "customer").withColumn(
+        "bal", F.col("c_acctbal").cast("decimal(12,2)")))
+    rule = Rule(
+        source=Source("df", "cust_typed"),
+        subject=TermMap(TEMPLATE, EX + "customer/{c_custkey}", IRI),
+        predicate=TermMap(CONSTANT, EX + "balance", IRI),
+        object=TermMap(REFERENCE, "bal", LITERAL),
+        datatype=TermMap(CONSTANT, XSD_DECIMAL, IRI),
+        graph=TermMap(TEMPLATE, EX + "graph/{c_mktsegment}", IRI),
+    )
+    return materialize(spark, [rule], registry=reg)
+
+
+def q_kg_rdf_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-triples map in object position (RMLSTARTC002a shape)."""
+    src = _pq(sf_dir, "orders")
+    quoted = Rule(
+        source=src,
+        subject=TermMap(TEMPLATE, EX + "order/{o_orderkey}", IRI),
+        predicate=TermMap(CONSTANT, EX + "status", IRI),
+        object=TermMap(REFERENCE, "o_orderstatus", LITERAL),
+    )
+    outer = Rule(
+        source=src,
+        subject=TermMap(TEMPLATE, EX + "order/{o_orderkey}", IRI),
+        predicate=TermMap(CONSTANT, EX + "assertedOn", IRI),
+        quoted_object=quoted,
+    )
+    return materialize(spark, [outer])
+
+
 def q_kg_gather_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RML-CC named container (rdf:Bag of order IRIs per customer)."""
     from morph_kgc_spark.operators.gather import RDF_BAG, gather_triples
@@ -377,6 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lineitem_orders_salted": q_kg_lineitem_orders_salted,
         "kg_ntriples_escaping": q_kg_ntriples_escaping,
         "kg_gather_bag": q_kg_gather_bag,
+        "kg_named_graphs": q_kg_named_graphs,
+        "kg_rdf_star": q_kg_rdf_star,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -406,6 +442,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_lineitem_orders_salted": oracles.kg_lineitem_orders_salted(),
         "kg_ntriples_escaping": oracles.kg_ntriples_escaping(),
         "kg_gather_bag": oracles.kg_gather_bag(),
+        "kg_named_graphs": oracles.kg_named_graphs(),
+        "kg_rdf_star": oracles.kg_rdf_star(),
         "ann_ivf_topk": oracles.ann_ivf_topk(),
         "dedup_exact": oracles.dedup_exact(),
         "dedup_minhash_lsh": oracles.dedup_minhash_lsh(),

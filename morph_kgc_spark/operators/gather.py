@@ -175,3 +175,42 @@ def gather_triples(df: DataFrame,
         return head_triples.unionAll(type_triples).unionAll(members)
 
     raise ValueError(f"unknown gatherAs: {gather_as!r}")
+
+
+_INTERNAL_HEAD = "urn:x-internal:gather-head"
+
+
+def gather_subject_triples(df: DataFrame,
+                           head_col: Column,
+                           gather_refs: list[str],
+                           gather_as: str,
+                           poms: list[tuple[str, Column]],
+                           value_termtype: str = M.LITERAL,
+                           value_datatype: Optional[str] = None,
+                           order_col: Optional[Column] = None,
+                           allow_empty: bool = False) -> DataFrame:
+    """Named collection/container in SUBJECT position
+    (reference: materializer.py:454-892).
+
+    The collection node (``head_col``, the subject map's template) is the
+    subject of the per-group predicate-object triples in ``poms``
+    [(predicate_iri, object_col), ...], and also heads the chain/container
+    triples. Unnamed subject gathers (fresh bnode heads) are not
+    supported — name the node or gather in object position.
+    """
+    chain = gather_triples(
+        df, subject_col=head_col, predicate_iri=_INTERNAL_HEAD,
+        gather_refs=gather_refs, gather_as=gather_as,
+        value_termtype=value_termtype, value_datatype=value_datatype,
+        head_col=head_col, order_col=order_col, allow_empty=allow_empty,
+    ).where(F.col("predicate") != f"<{_INTERNAL_HEAD}>")
+
+    out = chain
+    for pred_iri, obj_col in poms:
+        pom = df.select(
+            head_col.alias("subject"),
+            F.lit(f"<{pred_iri}>").alias("predicate"),
+            obj_col.alias("object"),
+        ).dropDuplicates()
+        out = out.unionAll(pom)
+    return out

@@ -298,6 +298,33 @@ SELECT * FROM pairs WHERE cos_sim >= {threshold}
 """
 
 
+def kg_named_graphs() -> str:
+    """Graph maps → N-Quads: customer triples land in a per-mktsegment
+    named graph (4-column result)."""
+    return f"""
+SELECT DISTINCT
+  '<{EX}customer/' || CAST(c_custkey AS VARCHAR) || '>' AS subject,
+  '<{EX}balance>' AS predicate,
+  '"' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+      || '"^^<{XSD}decimal>' AS object,
+  '<{EX}graph/' || c_mktsegment || '>' AS graph
+FROM customer
+"""
+
+
+def kg_rdf_star() -> str:
+    """RML-star: quoted triple in object position —
+    << order totalPrice "x" >> annotated with the order date."""
+    return f"""
+SELECT DISTINCT
+  '<{EX}order/' || CAST(o_orderkey AS VARCHAR) || '>' AS subject,
+  '<{EX}assertedOn>' AS predicate,
+  '<< <{EX}order/' || CAST(o_orderkey AS VARCHAR) || '> <{EX}status> "'
+      || o_orderstatus || '" >>' AS object
+FROM orders
+"""
+
+
 def kg_gather_bag() -> str:
     """RML-CC named container: one rdf:Bag of order IRIs per customer.
     Membership order = lexicographic IRI order (the melt/sort semantics).

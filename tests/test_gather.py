@@ -138,3 +138,25 @@ def test_order_preserving_gather(spark):
     rows = {(r.predicate, r.object) for r in out.collect() if r.subject == f"<{EX}seq/a>"}
     assert (f"<{RDF}_1>", '"zz"') in rows
     assert (f"<{RDF}_2>", '"aa"') in rows
+
+
+def test_subject_position_gather(spark):
+    from morph_kgc_spark.operators.gather import gather_subject_triples
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": ["a", "a"], "v": ["1", "2"], "label": ["L", "L"]}))
+    out = gather_subject_triples(
+        df,
+        head_col=F.concat(F.lit(f"<{EX}list/"), F.col("id"), F.lit(">")),
+        gather_refs=["v"],
+        gather_as=RDF_LIST,
+        poms=[(EX + "label",
+               F.concat(F.lit('"'), F.col("label"), F.lit('"')))],
+    )
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    # the collection node is the subject of the POM triple
+    assert (f"<{EX}list/a>", f"<{EX}label>", '"L"') in rows
+    # and heads its own first/rest chain
+    assert (f"<{EX}list/a>", f"<{RDF}first>", '"1"') in rows
+    # no internal head-link triple leaked
+    assert not any("x-internal" in p for _, p, _ in rows)
