@@ -307,6 +307,36 @@ def q_text_fingerprint(spark, sf_dir):
     return T.fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_rollup_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped decimal-exact rollup (general analytics surface)."""
+    li = _read(spark, sf_dir, "lineitem")
+    _utc(spark)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_rollup_top_customers(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     _utc(spark)
     return E.sessionize(_read(spark, sf_dir, "events"))
@@ -426,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "events_sessionize": q_events_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "rollup_pricing_summary": q_rollup_pricing_summary,
+        "rollup_top_customers": q_rollup_top_customers,
     }
 
 
@@ -457,4 +489,6 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": oracles.text_fingerprint(),
         "events_sessionize": oracles.events_sessionize(),
         "events_hourly_rollup": oracles.events_hourly_rollup(),
+        "rollup_pricing_summary": oracles.rollup_pricing_summary(),
+        "rollup_top_customers": oracles.rollup_top_customers(),
     }

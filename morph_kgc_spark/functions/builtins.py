@@ -196,6 +196,28 @@ def array_get(array_str, from_index, to_index=None) -> Column:
     return _slice(_as_col(array_str), _as_col(from_index), _as_col(to_index))
 
 
+@bif(IDLAB + "hash")
+def idlab_hash(string) -> Column:
+    return F.sha2(_as_col(string), 256)
+
+
+@bif(IDLAB + "hash_iri")
+def idlab_hash_iri(string) -> Column:
+    """sha256 wrapped into an IRI-shaped value (reference:
+    built_in_functions.py hash_iri)."""
+    return F.concat(F.lit("http://example.com/ns#"), F.sha2(_as_col(string), 256))
+
+
+@bif(GREL + "controls_if_cast")
+def controls_if_cast(bool_expression, value_true, value_false=None) -> Column:
+    """Falsy lexical forms: '', 'false', 'no', 'off', '0' (reference:
+    built_in_functions.py:188-198)."""
+    cond = _as_col(bool_expression)
+    falsy = F.lower(cond).isin("", "false", "no", "off", "0") | cond.isNull()
+    return F.when(~falsy, _as_col(value_true)).otherwise(
+        _as_col(value_false) if value_false is not None else F.lit(None))
+
+
 @bif(GREL + "uuid")
 def grel_uuid() -> Column:
     """Non-deterministic (flagged: reruns/retries produce new values —

@@ -485,6 +485,32 @@ FROM toks
 # ---------------------------------------------------------------------------
 
 
+def rollup_pricing_summary() -> str:
+    """TPC-H Q1-shaped pricing summary (decimal-exact aggregates)."""
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def rollup_top_customers(k: int = 10) -> str:
+    """Join + agg + deterministic top-k (order value per customer)."""
+    return f"""
+SELECT c_custkey, c_name,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spent,
+       count(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT {k}
+"""
+
+
 def events_sessionize(gap_s: int = 1800) -> str:
     # second-truncated epochs to match Spark's unix_timestamp()
     ep = "epoch(date_trunc('second', {t}))"
