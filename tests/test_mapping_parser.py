@@ -79,3 +79,31 @@ def test_mapping_partitions_assigned():
     # different predicate invariants → several disjoint groups
     assert len(parts) >= 3
     assert all(r.mapping_partition for r in rules)
+
+
+def test_r2rml_legacy_vocab(spark):
+    """R2RML rr: vocabulary (logicalTable/tableName/column) parses and
+    materializes against a registered catalog table."""
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame(
+        {"ID": [7], "NAME": ["Zed"]})).createOrReplaceTempView("STUDENT")
+    mapping = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+<#tm> a rr:TriplesMap ;
+  rr:logicalTable [ rr:tableName "STUDENT" ] ;
+  rr:subjectMap [ rr:template "http://example.com/s/{ID}" ;
+                  rr:class <http://example.com/Student> ] ;
+  rr:predicateObjectMap [
+    rr:predicate <http://example.com/name> ;
+    rr:objectMap [ rr:column "NAME" ]
+  ] .
+"""
+    out = materialize(spark, mapping)
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        ("<http://example.com/s/7>",
+         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         "<http://example.com/Student>"),
+        ("<http://example.com/s/7>", "<http://example.com/name>", '"Zed"'),
+    }

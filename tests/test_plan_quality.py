@@ -1,0 +1,61 @@
+"""Plan-quality regression guards: pruning, pushdown, join strategy.
+
+These assert on the OPTIMIZED plan text so a future change that silently
+breaks column pruning or scan-level null filtering fails loudly.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_column_pruning(spark):
+    # the name rule reads ONLY c_name from the customer parquet
+    df = entrymod.q_kg_customer_triples(spark, SF)
+    plan = _executed_plan(df)
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+    assert "c_name" in scan
+    assert "c_acctbal" not in scan and "c_mktsegment" not in scan
+
+
+def test_scan_level_null_filter(spark):
+    # the IsNotNull pre-filter reaches the scan's data filters
+    df = entrymod.q_kg_join_customer_nation(spark, SF)
+    plan = _executed_plan(df)
+    assert "atleastnnonnulls" in plan  # scan-level row filter present
+
+
+def test_small_parent_broadcast(spark):
+    df = entrymod.q_kg_join_customer_nation(spark, SF)
+    df.count()  # let AQE finalize
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_template_stays_in_codegen(spark):
+    # the concat tree for templates must not appear under a python eval
+    # (only the percent-encode UDF is python, fed by the when() branch)
+    df = entrymod.q_kg_rdf_type(spark, SF)  # numeric key: no dirty rows
+    plan = _executed_plan(df)
+    assert "concat(<, http://example.com/supplier/" in plan
+
+
+def test_pipeline_has_no_driver_collect_in_hot_path(spark):
+    # mention detection must be a per-row filter + broadcast hash join,
+    # never a nested-loop over the dictionary
+    from morph_kgc_spark.pipeline.pages import alias_dictionary, detect_mentions, synthetic_pages
+
+    pages = synthetic_pages(spark, 100).select("url", "text", "lang")
+    m = detect_mentions(pages, alias_dictionary(spark, 32))
+    plan = _executed_plan(m)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
