@@ -44,6 +44,27 @@ class SourceRegistry:
         """Register an in-memory / pre-built DataFrame source."""
         self._named[name] = df
 
+    def register_python(self, spark: SparkSession, name: str, data) -> None:
+        """Reference-compatible in-memory sources
+        (src/morph_kgc/data_source/python_data.py:17-66): a pandas
+        DataFrame, list of dicts, dict of lists, or a JSON string."""
+        import json as _json
+
+        import pandas as pd
+
+        if isinstance(data, DataFrame):
+            self._named[name] = data
+            return
+        if isinstance(data, str):
+            data = _json.loads(data)
+        if isinstance(data, dict):
+            data = pd.DataFrame(data)
+        elif isinstance(data, list):
+            data = pd.DataFrame.from_records(data)
+        if not isinstance(data, pd.DataFrame):
+            raise ValueError(f"unsupported python source type for {name!r}")
+        self._named[name] = spark.createDataFrame(data)
+
     def __call__(self, spark: SparkSession, source: M.Source) -> DataFrame:
         key = source.cache_key()
         if key not in self._cache:

@@ -107,3 +107,47 @@ def test_r2rml_legacy_vocab(spark):
          "<http://example.com/Student>"),
         ("<http://example.com/s/7>", "<http://example.com/name>", '"Zed"'),
     }
+
+
+def test_dynamic_datatype_map(spark):
+    """Datatype map from a column (rml:datatypeMap with reference)."""
+    import pandas as pd
+
+    from morph_kgc_spark.sources.registry import default_registry
+    from morph_kgc_spark import model as M
+    from morph_kgc_spark.plans.compiler import compile_rule
+
+    reg = default_registry()
+    reg.register_python(spark, "t", {"ID": ["1"], "v": ["42"],
+                                     "dt": ["http://www.w3.org/2001/XMLSchema#int"]})
+    rule = M.Rule(
+        source=M.Source("df", "t"),
+        subject=M.TermMap(M.TEMPLATE, "http://example.com/{ID}", M.IRI),
+        predicate=M.TermMap(M.CONSTANT, "http://example.com/p", M.IRI),
+        object=M.TermMap(M.REFERENCE, "v", M.LITERAL),
+        datatype=M.TermMap(M.REFERENCE, "dt"),
+    )
+    [r] = compile_rule(spark, rule, reg).collect()
+    assert r.object == '"42"^^<http://www.w3.org/2001/XMLSchema#int>'
+
+
+def test_graph_maps_produce_quads(spark, tmp_path):
+    import pandas as pd
+
+    csv = str(tmp_path / "g.csv")
+    pd.DataFrame({"ID": ["1"], "Name": ["x"], "G": ["ga"]}).to_csv(csv, index=False)
+    mapping = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+<#tm> rml:logicalSource [ rml:source "{csv}" ] ;
+  rr:subjectMap [ rr:template "http://example.com/{{ID}}" ;
+                  rr:graphMap [ rr:template "http://example.com/g/{{G}}" ] ] ;
+  rr:predicateObjectMap [
+    rr:predicate <http://example.com/name> ;
+    rr:objectMap [ rml:reference "Name" ]
+  ] .
+"""
+    out = materialize(spark, mapping)
+    assert out.columns == ["subject", "predicate", "object", "graph"]
+    [r] = out.collect()
+    assert r.graph == "<http://example.com/g/ga>"

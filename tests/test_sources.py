@@ -59,3 +59,25 @@ def test_materialize_from_json_source(spark, tmp_path):
     )
     rows = materialize(spark, [rule]).collect()
     assert [tuple(r) for r in rows] == [(f"<{EX}1>", f"<{EX}name>", '"x"')]
+
+
+def test_python_sources(spark):
+    """Reference-compatible in-memory sources (python_data.py shapes)."""
+    reg = default_registry()
+    reg.register_python(spark, "as_dict", {"ID": ["1"], "Name": ["d"]})
+    reg.register_python(spark, "as_records", [{"ID": "2", "Name": "r"}])
+    reg.register_python(spark, "as_json", '[{"ID": "3", "Name": "j"}]')
+    triples = set()
+    for name in ("as_dict", "as_records", "as_json"):
+        rule = M.Rule(
+            source=M.Source("df", name),
+            subject=M.TermMap(M.TEMPLATE, EX + "{ID}", M.IRI),
+            predicate=M.TermMap(M.CONSTANT, EX + "name", M.IRI),
+            object=M.TermMap(M.REFERENCE, "Name", M.LITERAL),
+        )
+        triples |= {tuple(r) for r in materialize(spark, [rule], registry=reg).collect()}
+    assert triples == {
+        (f"<{EX}1>", f"<{EX}name>", '"d"'),
+        (f"<{EX}2>", f"<{EX}name>", '"r"'),
+        (f"<{EX}3>", f"<{EX}name>", '"j"'),
+    }
