@@ -34,11 +34,21 @@ from morph_kgc_spark import model as M
 
 
 class SourceRegistry:
-    """Resolves Source specs to DataFrames, caching scans per source."""
+    """Resolves Source specs to DataFrames, caching scans per source.
 
-    def __init__(self) -> None:
+    ``persist_sources=True`` additionally Spark-persists every loaded
+    source (MEMORY_AND_DISK): in a multi-rule job each logical source
+    feeds several union branches, and Spark does not deduplicate
+    identical scan subtrees across branches — persisting turns N
+    re-scans into one. Right for sources that fit cluster storage
+    (dimension tables, benchmark SFs); leave off for the 100 TB fact
+    table, whose branches should instead be column-pruned scans.
+    """
+
+    def __init__(self, persist_sources: bool = False) -> None:
         self._named: dict[str, DataFrame] = {}
         self._cache: dict[str, DataFrame] = {}
+        self._persist = persist_sources
 
     def register(self, name: str, df: DataFrame) -> None:
         """Register an in-memory / pre-built DataFrame source."""
@@ -68,7 +78,12 @@ class SourceRegistry:
     def __call__(self, spark: SparkSession, source: M.Source) -> DataFrame:
         key = source.cache_key()
         if key not in self._cache:
-            self._cache[key] = self._load(spark, source)
+            df = self._load(spark, source)
+            if self._persist:
+                from pyspark.storagelevel import StorageLevel
+
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._cache[key] = df
         return self._cache[key]
 
     def _load(self, spark: SparkSession, source: M.Source) -> DataFrame:
@@ -129,5 +144,5 @@ def _pandas_fallback(spark: SparkSession, path: str, opts: dict) -> DataFrame:
     return spark.createDataFrame(reader(path, **opts.get("reader_kwargs", {})))
 
 
-def default_registry() -> SourceRegistry:
-    return SourceRegistry()
+def default_registry(persist_sources: bool = False) -> SourceRegistry:
+    return SourceRegistry(persist_sources=persist_sources)
