@@ -17,6 +17,17 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    # other tests persist shared sources; cached relations would replace
+    # the FileScan nodes these plan assertions inspect
+    spark.catalog.clearCache()
+    yield
+
+
 def test_scan_column_pruning(spark):
     # the name rule reads ONLY c_name from the customer parquet
     df = entrymod.q_kg_customer_triples(spark, SF)

@@ -111,3 +111,37 @@ def test_video_frame_sampling_plumbing(spark):
         by_media.setdefault(r.media_id, []).append(r.frame_idx)
     for idxs in by_media.values():
         assert idxs == list(range(len(idxs)))  # one row per frame, 0-based
+
+
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions spanning
+    micro-batches close correctly; session splits at the 30-min gap."""
+    import datetime as dt
+
+    from morph_kgc_spark.streaming.sessionize import streaming_sessionize
+
+    src = str(tmp_path / "ev")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 2h gap,
+        # then one more event (second session, stays open)
+        (1, base, 1), (1, base + dt.timedelta(minutes=10), 2),
+        (1, base + dt.timedelta(hours=2), 3),
+        # user 2: single event (stays open → no emission)
+        (2, base, 4),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long") \
+         .write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, event_id long").parquet(src)
+    out = streaming_sessionize(stream)
+    q = (out.writeStream.format("memory").queryName("sessions_mem")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_no, r.n_events, r.end_epoch - r.start_epoch)
+           for r in spark.sql("select * from sessions_mem").collect()}
+    # user 1's first session closed by the 2h-later event; user 2's idle
+    # session flushed by the event-time TIMEOUT once the watermark passed
+    # last_seen + gap. User 1's second session stays open (its timeout,
+    # 02:30, is beyond the final watermark 02:00) → not emitted.
+    assert got == {(1, 1, 2, 600), (2, 1, 1, 0)}
