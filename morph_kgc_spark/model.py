@@ -193,7 +193,9 @@ class Rule:
                 refs.extend(self.gather.head.references)
         if self.quoted_subject is not None:
             refs.extend(self.quoted_subject.references)
-        if self.quoted_object is not None:
+        if self.quoted_object is not None and self.parent_source is None:
+            # shared-source quoted map: quoted refs read from child rows;
+            # with a join the quoted refs come from the parent side
             refs.extend(self.quoted_object.references)
         # dedup preserving order
         seen: set[str] = set()
@@ -204,6 +206,8 @@ class Rule:
         refs: list[str] = []
         if self.parent_subject is not None:
             refs.extend(self.parent_subject.references)
+        if self.quoted_object is not None and self.parent_source is not None:
+            refs.extend(self.quoted_object.references)
         for jc in self.join_conditions:
             refs.append(jc.parent)
         seen: set[str] = set()

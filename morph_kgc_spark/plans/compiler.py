@@ -217,6 +217,13 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
     if rule.gather is not None:
         return _compile_gather_rule(spark, rule, load_source, na_values)
 
+    # quoted map with join condition: the quoted rule's own source is
+    # the join parent unless the caller set one explicitly (must happen
+    # before computing references — quoted refs move to the parent side)
+    if rule.quoted_object is not None and rule.join_conditions \
+            and rule.parent_source is None:
+        rule = rule.but(parent_source=rule.quoted_object.source)
+
     refs = rule.references
 
     if not refs and rule.parent_source is None and rule.quoted_object is None \
@@ -253,7 +260,10 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
                 kind=M.REFERENCE, value="__fnml", args=()))
 
     if rule.quoted_object is not None:
-        obj = _quoted_triple_col(rule.quoted_object)
+        # with a join condition the quoted rule materializes over ITS OWN
+        # source (joined in as parent_); without one it shares the
+        # child's rows (reference: materializer.py:925-962)
+        obj = _quoted_triple_col(rule.quoted_object, col_prefix=col_prefix)
     elif rule.parent_source is not None and rule.join_conditions:
         # referencing object map: object = parent subject over parent_ cols
         obj = compile_term(rule.parent_subject, col_prefix="parent_")
@@ -305,15 +315,16 @@ def _compile_gather_rule(spark: SparkSession, rule: M.Rule,
     )
 
 
-def _quoted_triple_col(sub_rule: M.Rule) -> Column:
-    """RML-star quoted triple ``<< s p o >>`` over the *current* rows.
+def _quoted_triple_col(sub_rule: M.Rule, col_prefix: str = "") -> Column:
+    """RML-star quoted triple ``<< s p o >>``.
 
-    Reference: materializer.py:925-962 — with no join condition the parent
-    (quoted) rule is evaluated over the child's rows.
+    Reference: materializer.py:925-962 — with no join condition the
+    quoted rule is evaluated over the child's rows (col_prefix "");
+    with one, over the joined-in parent columns (col_prefix "parent_").
     """
-    s = compile_term(sub_rule.subject)
-    p = compile_term(sub_rule.predicate)
-    o = _object_column(sub_rule)
+    s = compile_term(sub_rule.subject, col_prefix=col_prefix)
+    p = compile_term(sub_rule.predicate, col_prefix=col_prefix)
+    o = _object_column(sub_rule, col_prefix=col_prefix)
     return F.concat(F.lit("<< "), s, F.lit(" "), p, F.lit(" "), o, F.lit(" >>"))
 
 

@@ -183,3 +183,32 @@ def test_quoted_triples_rml_star(spark):
     )
     [r] = compile_rule(spark, outer, reg).collect()
     assert r.object == f'<< <{EX}a> <{EX}p> "b" >>'
+
+
+def test_quoted_triples_with_join_condition(spark):
+    """RML-star quoted map over a DIFFERENT source joined by condition
+    (reference: materializer.py:925-962 recursive materialization)."""
+    child = pd.DataFrame({"person": ["p1", "p2"], "cert": ["c1", "c9"]})
+    certs = pd.DataFrame({"id": ["c1", "c2"], "score": ["95", "80"]})
+    reg = default_registry()
+    reg.register("child", spark.createDataFrame(child))
+    reg.register("certs", spark.createDataFrame(certs))
+    quoted = M.Rule(
+        source=M.Source("df", "certs"),
+        subject=M.TermMap(M.TEMPLATE, EX + "cert/{id}", M.IRI),
+        predicate=M.TermMap(M.CONSTANT, EX + "score", M.IRI),
+        object=M.TermMap(M.REFERENCE, "score", M.LITERAL),
+    )
+    rule = M.Rule(
+        source=M.Source("df", "child"),
+        subject=M.TermMap(M.TEMPLATE, EX + "person/{person}", M.IRI),
+        predicate=M.TermMap(M.CONSTANT, EX + "claims", M.IRI),
+        quoted_object=quoted,
+        join_conditions=(M.JoinCondition(child="cert", parent="id"),),
+    )
+    rows = {tuple(r) for r in compile_rule(spark, rule, reg).collect()}
+    # only p1 joins (c9 has no cert row); quoted terms come from certs
+    assert rows == {(
+        f"<{EX}person/p1>", f"<{EX}claims>",
+        f'<< <{EX}cert/c1> <{EX}score> "95" >>',
+    )}

@@ -151,3 +151,29 @@ def test_graph_maps_produce_quads(spark, tmp_path):
     assert out.columns == ["subject", "predicate", "object", "graph"]
     [r] = out.collect()
     assert r.graph == "<http://example.com/g/ga>"
+
+
+def test_rml_query_tabular_view(spark):
+    """RML tabular view: rml:query SQL runs through Spark SQL (the
+    reference runs DuckDB over files — data_file.py:59-60)."""
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame(
+        {"ID": [1, 2, 3], "Name": ["a", "b", "c"], "active": [1, 0, 1]}
+    )).createOrReplaceTempView("people")
+    mapping = """
+@prefix rml: <http://w3id.org/rml/> .
+<#tm> rml:logicalSource [
+    rml:query "SELECT ID, upper(Name) AS NAME FROM people WHERE active = 1"
+  ] ;
+  rml:subjectMap [ rml:template "http://example.com/{ID}" ] ;
+  rml:predicateObjectMap [
+    rml:predicate <http://example.com/name> ;
+    rml:objectMap [ rml:reference "NAME" ]
+  ] .
+"""
+    rows = {tuple(r) for r in materialize(spark, mapping).collect()}
+    assert rows == {
+        ("<http://example.com/1>", "<http://example.com/name>", '"A"'),
+        ("<http://example.com/3>", "<http://example.com/name>", '"C"'),
+    }
