@@ -274,6 +274,11 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return D.simhash_pairs(_read(spark, sf_dir, "documents"), "doc_id", "text",
+                           max_hamming=6)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_topk(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -451,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -484,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.dedup_exact(),
         "dedup_minhash_lsh": oracles.dedup_minhash_lsh(),
         "dedup_simhash": oracles.dedup_simhash(),
+        "dedup_simhash_pairs": oracles.dedup_simhash_pairs(),
         "dedup_ngram_jaccard": oracles.dedup_ngram_jaccard_topk(),
         "dedup_embedding_cosine": oracles.dedup_embedding_cosine(0.3),
         "ann_cosine_topk": oracles.ann_cosine_topk(),

@@ -131,6 +131,46 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 6, bits: int = 32,
+                  n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the signature into ``n_bands`` byte bands;
+    any pair within hamming ``n_bands - 1`` must share ≥1 exact band, so
+    candidates come from an equi-join on (band_idx, band_value) and the
+    exact hamming (bit_count of xor) filters them. One signature shuffle
+    + one banded self-join — never all-pairs.
+    """
+    sig = simhash(df, id_col, text_col, bits=bits).persist()
+    width = bits // n_bands
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+            )
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"),
+             F.col("bb.val").alias("val"))
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                     "band", "val")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                     "band", "val")
+    return (
+        a.join(b, on=["band", "val"], how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates()
+    )
+
+
 def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, k: int = 10) -> DataFrame:
     """Top-k most similar pairs by exact n-gram Jaccard.

@@ -260,6 +260,30 @@ SELECT doc_id, {combine} AS simhash FROM agg
 """
 
 
+def dedup_simhash_pairs(max_hamming: int = 6, bits: int = 32,
+                        n_bands: int = 4) -> str:
+    """Banded SimHash near-dup pairs (pigeonhole candidates, exact
+    hamming via bit_count(xor))."""
+    base = dedup_simhash(bits)
+    width = bits // n_bands
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * width}) & {(1 << width) - 1} AS val FROM sims"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sims AS ({base}),
+bands AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def dedup_ngram_jaccard_topk(k: int = 10) -> str:
     return f"""
 WITH {_shingles_cte(3)},
