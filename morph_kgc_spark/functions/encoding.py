@@ -84,7 +84,19 @@ def ntriples_escape_col(col: Column) -> Column:
     return col
 
 
-def percent_encode_col(col: Column) -> Column:
+def make_percent_encode_udf(safe: str):
+    """UDF factory for ``safe_percent_encoding`` (reference config
+    config.py:228: quote() with user-supplied safe characters instead of
+    falcon's encode-everything default, materializer.py:128-130)."""
+
+    @pandas_udf(StringType())
+    def _enc(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: quote(v, safe=safe) if v is not None else None)
+
+    return _enc
+
+
+def percent_encode_col(col: Column, safe: str | None = None) -> Column:
     """Percent-encode a column for IRI position.
 
     Uses a native fast path when the value is all-unreserved (the common
@@ -92,11 +104,18 @@ def percent_encode_col(col: Column) -> Column:
     ArrowEvalPython still evaluates the UDF argument for every row (no
     lazy branches), so the dirty-only column is materialized as NULL for
     clean rows — the Arrow batch ships nulls and the python worker does
-    zero work on them.
+    zero work on them. ``safe`` switches to the reference's
+    safe_percent_encoding mode (extra characters left unescaped).
     """
+    udf_fn = percent_encode_udf if not safe else make_percent_encode_udf(safe)
     clean = col.rlike("^[A-Za-z0-9_.~-]*$")
     dirty_only = F.when(clean, F.lit(None)).otherwise(col)
-    return F.when(clean, col).otherwise(percent_encode_udf(dirty_only))
+    return F.when(clean, col).otherwise(udf_fn(dirty_only))
+
+
+def remove_non_printable_py(value: str) -> str:
+    """only_write_printable_characters filter (reference utils.py)."""
+    return "".join(c for c in value if c.isprintable())
 
 
 def natural_mapping_col(col: Column, datatype: str | None) -> Column:

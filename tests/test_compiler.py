@@ -212,3 +212,18 @@ def test_quoted_triples_with_join_condition(spark):
         f"<{EX}person/p1>", f"<{EX}claims>",
         f'<< <{EX}cert/c1> <{EX}score> "95" >>',
     )}
+
+
+def test_safe_percent_encoding_mode(spark):
+    """safe_percent_encoding: user-supplied safe chars stay unescaped
+    (reference materializer.py:128-130)."""
+    from morph_kgc_spark.functions.encoding import percent_encode_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a/b c",)], ["v"])
+    [r] = df.select(
+        percent_encode_col(F.col("v")).alias("strict"),
+        percent_encode_col(F.col("v"), safe="/").alias("safe_slash"),
+    ).collect()
+    assert r.strict == "a%2Fb%20c"
+    assert r.safe_slash == "a/b%20c"
