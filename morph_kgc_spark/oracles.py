@@ -18,8 +18,6 @@ from __future__ import annotations
 from morph_kgc_spark.functions.hashing import (
     LSH_BANDS,
     LSH_ROWS,
-    MINHASH_A,
-    MINHASH_B,
     N_PERMS,
     P31,
     h64_sql,
