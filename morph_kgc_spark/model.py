@@ -39,7 +39,9 @@ XSD_HEX_BINARY = XSD + "hexBinary"
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
-_TEMPLATE_REF_RE = re.compile(r"(?<!\\)\{(.+?)(?<!\\)\}")
+# DOTALL: reference uses [^}]+ (utils.py:107) which spans newlines —
+# column names containing \n are legal
+_TEMPLATE_REF_RE = re.compile(r"(?<!\\)\{(.+?)(?<!\\)\}", re.DOTALL)
 
 
 def references_in_template(template: str) -> list[str]:
