@@ -29,10 +29,16 @@ CONFIGURATION = "CONFIGURATION"
 
 @dataclass
 class EngineConfig:
-    mapping_paths: list[str] = field(default_factory=list)
+    # section name → list of mapping paths (order preserved)
+    section_mappings: dict[str, list[str]] = field(default_factory=dict)
     file_path_overrides: dict[str, str] = field(default_factory=dict)  # section → path
     na_values: tuple[str, ...] = ("", "nan")
+    safe_percent_encoding: str | None = None
     output_file: str | None = None
+
+    @property
+    def mapping_paths(self) -> list[str]:
+        return [p for paths in self.section_mappings.values() for p in paths]
 
 
 def load_config(config: str) -> EngineConfig:
@@ -50,6 +56,8 @@ def load_config(config: str) -> EngineConfig:
         sec = parser[CONFIGURATION]
         if "na_values" in sec:
             out.na_values = tuple(sec["na_values"].split(","))
+        if "safe_percent_encoding" in sec:
+            out.safe_percent_encoding = sec["safe_percent_encoding"]
         out.output_file = sec.get("output_file") or sec.get("output_dir")
 
     for name in parser.sections():
@@ -58,23 +66,54 @@ def load_config(config: str) -> EngineConfig:
         sec = parser[name]
         if "mappings" not in sec:
             raise ValueError(f"data source section [{name}] without 'mappings'")
+        paths = []
         for m in sec["mappings"].split(","):
             m = m.strip()
             if not os.path.isabs(m):
                 m = os.path.join(base_dir, m)
-            out.mapping_paths.append(m)
+            paths.append(m)
+        out.section_mappings[name] = paths
         if "file_path" in sec:
-            out.file_path_overrides[name] = sec["file_path"]
-    if not out.mapping_paths:
+            fp = sec["file_path"]
+            if not os.path.isabs(fp):
+                fp = os.path.join(base_dir, fp)
+            out.file_path_overrides[name] = fp
+    if not out.section_mappings:
         raise ValueError("config declares no data source sections with mappings")
     return out
+
+
+# extension → Source kind, shared with the mapping parser
+_EXT_KIND = {
+    ".csv": "csv", ".tsv": "csv", ".json": "json", ".parquet": "parquet",
+    ".orc": "orc", ".xml": "xml", ".xlsx": "pandas_any",
+    ".feather": "pandas_any",
+}
+
+
+def _override_source(src, path: str):
+    """Re-point a file Source at the section's ``file_path`` override
+    (reference: a data-source section's file_path replaces the mapping's
+    rml:source, config.py:207-214). Table/SQL/df sources pass through."""
+    if src is None or src.kind in ("table", "sql", "df", "jdbc"):
+        return src
+    ext = os.path.splitext(path)[1].lower()
+    kind = _EXT_KIND.get(ext, src.kind)
+    options = dict(src.options)
+    if ext == ".tsv":
+        options.setdefault("sep", "\t")
+    from morph_kgc_spark.model import Source
+
+    return Source(kind, path, options)
 
 
 def materialize_from_config(spark: SparkSession, config: str,
                             write: bool = False) -> DataFrame:
     """Reference-compatible entry: INI config → triples DataFrame.
 
-    With ``write=True`` and an output_file configured, also writes the
+    Applies every parsed configuration key: per-section ``file_path``
+    source overrides, ``na_values``, ``safe_percent_encoding``. With
+    ``write=True`` and an output_file configured, also writes the
     distributed N-Triples directory.
     """
     from morph_kgc_spark.engine import materialize
@@ -82,11 +121,22 @@ def materialize_from_config(spark: SparkSession, config: str,
 
     cfg = load_config(config)
     rules = []
-    for path in cfg.mapping_paths:
-        if not os.path.exists(path):
-            raise FileNotFoundError(f"mapping file not found: {path}")
-        rules.extend(parse_mapping(path))
-    df = materialize(spark, rules)
+    for section, paths in cfg.section_mappings.items():
+        override = cfg.file_path_overrides.get(section)
+        for path in paths:
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"mapping file not found: {path}")
+            section_rules = parse_mapping(path)
+            if override:
+                section_rules = [
+                    r.but(source=_override_source(r.source, override),
+                          parent_source=_override_source(r.parent_source,
+                                                         override))
+                    for r in section_rules
+                ]
+            rules.extend(section_rules)
+    df = materialize(spark, rules, na_values=cfg.na_values,
+                     safe_percent_encoding=cfg.safe_percent_encoding)
     if write and cfg.output_file:
         from morph_kgc_spark.sinks.ntriples import write_ntriples
 

@@ -20,6 +20,8 @@ for byte-equality tests and driver-side constant folding.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from contextvars import ContextVar
 from urllib.parse import quote
 
 import pandas as pd
@@ -87,7 +89,11 @@ def ntriples_escape_col(col: Column) -> Column:
 def make_percent_encode_udf(safe: str):
     """UDF factory for ``safe_percent_encoding`` (reference config
     config.py:228: quote() with user-supplied safe characters instead of
-    falcon's encode-everything default, materializer.py:128-130)."""
+    falcon's encode-everything default, materializer.py:128-130).
+
+    Only used as a fallback for non-ASCII safe characters; the common
+    path is the pure-JVM expression in :func:`percent_encode_col`.
+    """
 
     @pandas_udf(StringType())
     def _enc(s: pd.Series) -> pd.Series:
@@ -96,21 +102,57 @@ def make_percent_encode_udf(safe: str):
     return _enc
 
 
-def percent_encode_col(col: Column, safe: str | None = None) -> Column:
-    """Percent-encode a column for IRI position.
+# contextvar threading for the safe_percent_encoding config key: the
+# compiler builds Column trees driver-side, so materialize() wraps plan
+# construction in `safe_encoding_context` and every percent_encode_col
+# call sees the configured safe characters without 8 layers of kwargs.
+_SAFE_CHARS: ContextVar[str | None] = ContextVar("safe_percent_chars", default=None)
 
-    Uses a native fast path when the value is all-unreserved (the common
-    case for key-derived IRIs: ``[A-Za-z0-9_.~-]*``). Catalyst's
-    ArrowEvalPython still evaluates the UDF argument for every row (no
-    lazy branches), so the dirty-only column is materialized as NULL for
-    clean rows — the Arrow batch ships nulls and the python worker does
-    zero work on them. ``safe`` switches to the reference's
-    safe_percent_encoding mode (extra characters left unescaped).
+
+@contextmanager
+def safe_encoding_context(safe: str | None):
+    token = _SAFE_CHARS.set(safe)
+    try:
+        yield
+    finally:
+        _SAFE_CHARS.reset(token)
+
+
+def percent_encode_col(col: Column, safe: str | None = None) -> Column:
+    """Percent-encode a column for IRI position — pure JVM, codegen-friendly.
+
+    ``java.net.URLEncoder`` (behind ``F.url_encode``) differs from
+    ``urllib.parse.quote(v, safe='')`` in exactly three ways, each fixable
+    with a post-replace that cannot collide with encoder output:
+
+    - space → ``+`` (we want ``%20``): any original ``+`` was encoded to
+      ``%2B``, so surviving ``+`` is always a space;
+    - ``*`` left bare (we want ``%2A``): no ``%XX`` sequence contains
+      ``*``, so every surviving ``*`` is an original asterisk;
+    - ``~`` → ``%7E`` (RFC-3986 unreserved, we keep it): a literal
+      ``%7E`` in the input becomes ``%257E``, so ``%7E`` is unambiguous.
+
+    Both encoders UTF-8-encode then emit uppercase hex, so the chain is
+    byte-identical to the reference's falcon ``encode_value``
+    (materializer.py:132) — verified by a Hypothesis property test.
+
+    ``safe`` (reference safe_percent_encoding mode) post-decodes the
+    user's extra safe characters; non-ASCII safe chars fall back to the
+    Arrow UDF.
     """
-    udf_fn = percent_encode_udf if not safe else make_percent_encode_udf(safe)
-    clean = col.rlike("^[A-Za-z0-9_.~-]*$")
-    dirty_only = F.when(clean, F.lit(None)).otherwise(col)
-    return F.when(clean, col).otherwise(udf_fn(dirty_only))
+    if safe is None:
+        safe = _SAFE_CHARS.get()
+    if safe and not safe.isascii():
+        return make_percent_encode_udf(safe)(col)
+    out = F.url_encode(col)
+    out = F.replace(out, F.lit("+"), F.lit("%20"))
+    out = F.replace(out, F.lit("*"), F.lit("%2A"))
+    out = F.replace(out, F.lit("%7E"), F.lit("~"))
+    for ch in dict.fromkeys(safe or ""):
+        if ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_.-~":
+            continue  # never encoded in the first place
+        out = F.replace(out, F.lit("%%%02X" % ord(ch)), F.lit(ch))
+    return out
 
 
 def remove_non_printable_py(value: str) -> str:

@@ -287,7 +287,12 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
                                          M.IRI, "graph")
 
         def emit(predicate: M.TermMap, pom_graphs: list[M.TermMap], **kw) -> None:
-            graphs = pom_graphs or tm_graphs or [None]
+            # subject-map graph maps are ADDED to every POM's own graph
+            # maps (union, deduplicated) — reference
+            # _subject_graph_maps_to_pom, mapping_parser.py:179-199
+            combined = list(pom_graphs)
+            combined += [g for g in tm_graphs if g not in combined]
+            graphs = combined or [None]
             for graph in graphs:
                 if graph is not None and graph.kind == M.CONSTANT and \
                         graph.value == RR + "defaultGraph":
@@ -339,8 +344,14 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
                             "over a different logical source")
                     continue
                 datatype, language = _lang_datatype(g, om)
+                # a language/datatype (map) forces termtype Literal unless
+                # rr:termType is explicit (reference _complete_termtypes,
+                # mapping_parser.py:249-260) — otherwise a template object
+                # with rr:datatype would render as an IRI `<v>^^<dt>`
+                default_tt = (M.LITERAL if datatype is not None
+                              or language is not None else M.IRI)
                 object_specs.append(dict(
-                    object=_term_map(g, om, M.IRI, "object"),
+                    object=_term_map(g, om, default_tt, "object"),
                     datatype=datatype, language=language,
                 ))
             for const in _all(g, pom, "object"):

@@ -132,15 +132,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 6, bits: int = 32,
-                  n_bands: int = 4) -> DataFrame:
+                  n_bands: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: split the signature into ``n_bands`` byte bands;
-    any pair within hamming ``n_bands - 1`` must share ≥1 exact band, so
+    Pigeonhole banding: split the signature into ``n_bands`` bands; a
+    pair within hamming ``n_bands - 1`` differs in at most ``n_bands-1``
+    *covered* bits, so some band is untouched and the pair shares it —
     candidates come from an equi-join on (band_idx, band_value) and the
     exact hamming (bit_count of xor) filters them. One signature shuffle
     + one banded self-join — never all-pairs.
+
+    Completeness therefore requires ``n_bands >= max_hamming + 1``
+    (default: derived). Bits above ``n_bands * (bits // n_bands)`` being
+    uncovered is harmless: differences there never *prevent* a band
+    match, and the exact hamming filter runs on the full signature.
     """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall for "
+            f"max_hamming={max_hamming}: pigeonhole needs n_bands >= "
+            f"max_hamming + 1 = {max_hamming + 1}")
     sig = simhash(df, id_col, text_col, bits=bits).persist()
     width = bits // n_bands
     bands = sig.select(

@@ -259,9 +259,13 @@ SELECT doc_id, {combine} AS simhash FROM agg
 
 
 def dedup_simhash_pairs(max_hamming: int = 6, bits: int = 32,
-                        n_bands: int = 4) -> str:
+                        n_bands: int | None = None) -> str:
     """Banded SimHash near-dup pairs (pigeonhole candidates, exact
-    hamming via bit_count(xor))."""
+    hamming via bit_count(xor)). ``n_bands`` defaults to
+    ``max_hamming + 1`` — must stay in lockstep with
+    operators/dedup.simhash_pairs for hash parity."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
     base = dedup_simhash(bits)
     width = bits // n_bands
     band_rows = "\nUNION ALL\n".join(

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass
@@ -37,9 +38,20 @@ class CommitStats:
     rows_written: int
 
 
+_EXPR_ID_RE = re.compile(r"#\d+L?")
+
+
 def _lineage_fingerprint(df: DataFrame, extra: str = "") -> str:
-    """Stable fingerprint of the logical plan + caller-supplied input id."""
+    """Restart-stable fingerprint of the logical plan + caller input id.
+
+    The raw plan string embeds per-JVM attribute exprIds (``subject#123``)
+    that change on every new driver, which would make every resume after
+    a restart refuse with 'different lineage'. Canonicalize by stripping
+    the numeric ids — relation paths, schemas, and operator structure
+    (the parts that actually identify the lineage) survive.
+    """
     plan = df._jdf.queryExecution().logical().toString()
+    plan = _EXPR_ID_RE.sub("#", plan)
     return hashlib.md5((plan + "\n" + extra).encode()).hexdigest()
 
 

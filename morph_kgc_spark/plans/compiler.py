@@ -44,7 +44,7 @@ QUAD_COLS = ("subject", "predicate", "object", "graph")
 
 # default NULL lexical forms dropped from every referenced column
 # (reference: src/morph_kgc/config.py:81 — na_values ['', 'nan'])
-DEFAULT_NA_VALUES = ("",)
+DEFAULT_NA_VALUES = ("", "nan")
 
 
 def prepare_source(df: DataFrame, references: Iterable[str],
@@ -330,7 +330,8 @@ def _quoted_triple_col(sub_rule: M.Rule, col_prefix: str = "") -> Column:
 
 def materialize_rules(spark: SparkSession, rules: list[M.Rule],
                       load_source: SourceLoader,
-                      distinct: bool = True) -> DataFrame:
+                      distinct: bool = True,
+                      na_values: Iterable[str] = DEFAULT_NA_VALUES) -> DataFrame:
     """Union all rules' triples with set semantics.
 
     Rules that share a ``mapping_partition`` label are distinct-ed together;
@@ -344,7 +345,7 @@ def materialize_rules(spark: SparkSession, rules: list[M.Rule],
     n_graph = any(r.graph is not None for r in rules)
     frames: dict[str, DataFrame] = {}
     for i, rule in enumerate(rules):
-        df = compile_rule(spark, rule, load_source)
+        df = compile_rule(spark, rule, load_source, na_values=na_values)
         if n_graph and "graph" not in df.columns:
             df = df.withColumn("graph", F.lit(None).cast("string"))
         key = rule.mapping_partition or f"__rule_{i}"
