@@ -235,6 +235,32 @@ def q_kg_rdf_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(spark, [outer])
 
 
+def q_kg_rdf_star_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RML-star parsed from a Turtle mapping document: NonAsserted TM
+    quoted in subject position (RMLSTARTC002a shape, reference
+    mapping_parser.py:760-804)."""
+    ttl = f"""
+@prefix rml: <http://w3id.org/rml/> .
+@prefix ex: <{EX}> .
+@prefix : <http://example.org/> .
+
+:statusTM a rml:NonAssertedTriplesMap ;
+  rml:logicalSource [ rml:source "{sf_dir}/orders.parquet" ] ;
+  rml:subjectMap [ rml:template "{EX}order/{{o_orderkey}}" ] ;
+  rml:predicateObjectMap [
+    rml:predicate ex:status ;
+    rml:objectMap [ rml:reference "o_orderstatus" ] ] .
+
+:annotationTM a rml:AssertedTriplesMap ;
+  rml:logicalSource [ rml:source "{sf_dir}/orders.parquet" ] ;
+  rml:subjectMap [ rml:quotedTriplesMap :statusTM ] ;
+  rml:predicateObjectMap [
+    rml:predicate ex:takenBy ;
+    rml:objectMap [ rml:reference "o_orderpriority" ] ] .
+"""
+    return materialize(spark, ttl)
+
+
 def q_kg_gather_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RML-CC named container (rdf:Bag of order IRIs per customer)."""
     from morph_kgc_spark.operators.gather import RDF_BAG, gather_triples
@@ -452,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gather_bag": q_kg_gather_bag,
         "kg_named_graphs": q_kg_named_graphs,
         "kg_rdf_star": q_kg_rdf_star,
+        "kg_rdf_star_ttl": q_kg_rdf_star_ttl,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -486,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_gather_bag": oracles.kg_gather_bag(),
         "kg_named_graphs": oracles.kg_named_graphs(),
         "kg_rdf_star": oracles.kg_rdf_star(),
+        "kg_rdf_star_ttl": oracles.kg_rdf_star_ttl(),
         "ann_ivf_topk": oracles.ann_ivf_topk(),
         "dedup_exact": oracles.dedup_exact(),
         "dedup_minhash_lsh": oracles.dedup_minhash_lsh(),

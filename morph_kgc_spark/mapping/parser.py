@@ -250,8 +250,20 @@ def _lang_datatype(g: Graph, om: Term) -> tuple[Optional[M.TermMap], Optional[M.
     return None, None
 
 
+# quoted-map placeholder: (parent TM term, join conditions)
+_QuotedSpec = tuple
+
+
 def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
-    """Compile a mapping document (Turtle text or path) to Rules."""
+    """Compile a mapping document (Turtle text or path) to Rules.
+
+    RML-star (reference mapping_parser.py:760-804 fixpoint expansion +
+    materializer.py:925-962): ``rml:quotedTriplesMap`` in subject or
+    object maps references another triples map whose rules become
+    ``Rule.quoted_subject`` / ``Rule.quoted_object`` sub-rules — one
+    outer rule per quoted rule, recursively for nested quoting.
+    ``rml:NonAssertedTriplesMap`` rules are only reachable via quoting.
+    """
     if "\n" not in mapping and os.path.exists(mapping):
         base_dir = os.path.dirname(os.path.abspath(mapping))
         with open(mapping, encoding="utf-8") as f:
@@ -267,18 +279,49 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
                 seen.add(s)
                 tms.append(s)
 
+    non_asserted_iris = {ns + "NonAssertedTriplesMap"
+                         for ns in (RR, RML_L, RML_N)}
+    def is_non_asserted(tm: Term) -> bool:
+        return any(o[1] in non_asserted_iris
+                   for o in g.objects(tm, RDF_TYPE))
+
     tm_index = {tm: f"tm{i}" for i, tm in enumerate(tms)}
-    rules: list[M.Rule] = []
+    # per-TM raw rules: (Rule, quoted_subject_spec, quoted_object_spec)
+    raw: dict[Term, list[tuple]] = {tm: [] for tm in tms}
+
+    def _join_conditions(node: Term) -> tuple[M.JoinCondition, ...]:
+        jcs = []
+        for jc in _all(g, node, "joinCondition"):
+            child = _first(g, jc, "child")
+            parent = _first(g, jc, "parent")
+            jcs.append(M.JoinCondition(child[1], parent[1]))
+        return tuple(jcs)
+
+    def _quoted_spec(node: Term | None) -> Optional[_QuotedSpec]:
+        """rml:quotedTriplesMap inside a subject/object map bnode."""
+        if node is None:
+            return None
+        q = _first(g, node, "quotedTriplesMap")
+        if q is None:
+            return None
+        if q not in raw:
+            raise ValueError(f"quotedTriplesMap references unknown map {q}")
+        return (q, _join_conditions(node))
 
     for tm in tms:
         source = _source_for(g, tm, base_dir)
-
-        subj_maps = _shortcut_or_map(g, tm, ["subjectMap"], ["subject"],
-                                     M.IRI, "subject")
-        if not subj_maps:
-            raise ValueError(f"triples map {tm} without subject map")
-        subject = subj_maps[0]
         subj_node = _first(g, tm, "subjectMap")
+
+        quoted_subj = _quoted_spec(subj_node)
+        if quoted_subj is not None:
+            # placeholder subject; replaced by the quoted sub-rule later
+            subject = M.TermMap(M.CONSTANT, "__quoted__", M.IRI)
+        else:
+            subj_maps = _shortcut_or_map(g, tm, ["subjectMap"], ["subject"],
+                                         M.IRI, "subject")
+            if not subj_maps:
+                raise ValueError(f"triples map {tm} without subject map")
+            subject = subj_maps[0]
 
         # subject-level graph maps apply to every POM (mapping_parser.py:179-199)
         tm_graphs: list[M.TermMap] = []
@@ -286,7 +329,8 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
             tm_graphs = _shortcut_or_map(g, subj_node, ["graphMap"], ["graph"],
                                          M.IRI, "graph")
 
-        def emit(predicate: M.TermMap, pom_graphs: list[M.TermMap], **kw) -> None:
+        def emit(predicate: M.TermMap, pom_graphs: list[M.TermMap],
+                 quoted_obj: Optional[_QuotedSpec] = None, **kw) -> None:
             # subject-map graph maps are ADDED to every POM's own graph
             # maps (union, deduplicated) — reference
             # _subject_graph_maps_to_pom, mapping_parser.py:179-199
@@ -297,10 +341,10 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
                 if graph is not None and graph.kind == M.CONSTANT and \
                         graph.value == RR + "defaultGraph":
                     graph = None
-                rules.append(M.Rule(
+                raw[tm].append((M.Rule(
                     source=source, subject=subject, predicate=predicate,
                     graph=graph, triples_map_id=tm_index[tm], **kw,
-                ))
+                ), quoted_subj, quoted_obj))
 
         # rr:class → rdf:type POM (mapping_parser.py:160-176)
         if subj_node is not None:
@@ -317,6 +361,10 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
             for om in _all(g, pom, "objectMap"):
                 if _first(g, om, "gather") is not None:
                     object_specs.append(dict(gather=_gather_spec(g, om)))
+                    continue
+                q_spec = _quoted_spec(om)
+                if q_spec is not None:
+                    object_specs.append(dict(quoted_obj=q_spec))
                     continue
                 parent_tm = _first(g, om, "parentTriplesMap")
                 if parent_tm is not None:
@@ -369,4 +417,51 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
                 for spec in object_specs:
                     emit(predicate, pom_graphs, **spec)
 
+    return _resolve_quoted(raw, tms, is_non_asserted)
+
+
+def _resolve_quoted(raw: dict, tms: list[Term], is_non_asserted) -> list[M.Rule]:
+    """Expand quoted-map placeholders into quoted sub-rules.
+
+    Mirrors the reference's fixpoint expansion (_expand_rml_star,
+    mapping_parser.py:770-804): a quoted reference to a TM with N
+    normalized rules becomes N outer rules, one per quoted sub-rule;
+    nesting resolves recursively. Only rules of asserted maps are
+    returned at top level.
+    """
+    resolved: dict[Term, list[M.Rule]] = {}
+
+    def resolve(tm: Term, stack: tuple) -> list[M.Rule]:
+        if tm in resolved:
+            return resolved[tm]
+        if tm in stack:
+            raise ValueError(f"cyclic quotedTriplesMap chain through {tm}")
+        out: list[M.Rule] = []
+        for rule, q_subj, q_obj in raw[tm]:
+            variants = [rule]
+            if q_subj is not None:
+                q_tm, q_jcs = q_subj
+                if q_jcs:
+                    raise NotImplementedError(
+                        "joinCondition on a quoted subject map is not "
+                        "supported yet (object-position quoted joins are)")
+                variants = [v.but(quoted_subject=q)
+                            for v in variants
+                            for q in resolve(q_tm, stack + (tm,))]
+            if q_obj is not None:
+                q_tm, q_jcs = q_obj
+                q_rules = resolve(q_tm, stack + (tm,))
+                variants = [
+                    v.but(quoted_object=q,
+                          join_conditions=q_jcs or v.join_conditions)
+                    for v in variants for q in q_rules
+                ]
+            out.extend(variants)
+        resolved[tm] = out
+        return out
+
+    rules: list[M.Rule] = []
+    for tm in tms:
+        if not is_non_asserted(tm):
+            rules.extend(resolve(tm, ()))
     return rules

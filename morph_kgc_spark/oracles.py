@@ -351,6 +351,20 @@ FROM orders
 """
 
 
+def kg_rdf_star_ttl() -> str:
+    """RML-star driven from a Turtle mapping DOCUMENT (not programmatic
+    rules): a NonAssertedTriplesMap quoted in subject position —
+    << order status "st" >> ex:takenBy "clerk"."""
+    return f"""
+SELECT DISTINCT
+  '<< <{EX}order/' || CAST(o_orderkey AS VARCHAR) || '> <{EX}status> "'
+      || o_orderstatus || '" >>' AS subject,
+  '<{EX}takenBy>' AS predicate,
+  '"' || o_orderpriority || '"' AS object
+FROM orders
+"""
+
+
 def kg_gather_bag() -> str:
     """RML-CC named container: one rdf:Bag of order IRIs per customer.
     Membership order = lexicographic IRI order (the melt/sort semantics).

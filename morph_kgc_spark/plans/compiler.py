@@ -316,15 +316,26 @@ def _compile_gather_rule(spark: SparkSession, rule: M.Rule,
 
 
 def _quoted_triple_col(sub_rule: M.Rule, col_prefix: str = "") -> Column:
-    """RML-star quoted triple ``<< s p o >>``.
+    """RML-star quoted triple ``<< s p o >>``, recursively nested.
 
     Reference: materializer.py:925-962 — with no join condition the
     quoted rule is evaluated over the child's rows (col_prefix "");
     with one, over the joined-in parent columns (col_prefix "parent_").
+    Nested quoting (a quoted rule whose own subject/object is quoted,
+    RMLSTARTC004a shape) recurses over the same rows.
     """
-    s = compile_term(sub_rule.subject, col_prefix=col_prefix)
+    if sub_rule.quoted_subject is not None:
+        s = _quoted_triple_col(sub_rule.quoted_subject, col_prefix=col_prefix)
+    else:
+        s = compile_term(sub_rule.subject, col_prefix=col_prefix)
     p = compile_term(sub_rule.predicate, col_prefix=col_prefix)
-    o = _object_column(sub_rule, col_prefix=col_prefix)
+    if sub_rule.quoted_object is not None:
+        if sub_rule.join_conditions:
+            raise NotImplementedError(
+                "join condition inside a *nested* quoted map is unsupported")
+        o = _quoted_triple_col(sub_rule.quoted_object, col_prefix=col_prefix)
+    else:
+        o = _object_column(sub_rule, col_prefix=col_prefix)
     return F.concat(F.lit("<< "), s, F.lit(" "), p, F.lit(" "), o, F.lit(" >>"))
 
 
