@@ -261,6 +261,46 @@ def q_kg_rdf_star_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(spark, ttl)
 
 
+def q_kg_yarrrml_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG built from a YARRRML (YAML) mapping document — po shortcuts,
+    language tag, and a referencing object map with join condition
+    (reference: mapping/yarrrml.py:426-589)."""
+    yml = f"""
+prefixes:
+  ex: {EX}
+  foaf: http://xmlns.com/foaf/0.1/
+
+mappings:
+  customer:
+    sources:
+      - access: {sf_dir}/customer.parquet
+    s: ex:customer/$(c_custkey)
+    po:
+      - [foaf:name, $(c_name)]
+      - [ex:segment, $(c_mktsegment), en~lang]
+      - p: ex:nation
+        o:
+          mappings: nation
+          condition:
+            function: equal
+            parameters:
+              - [str1, $(c_nationkey)]
+              - [str2, $(n_nationkey)]
+  nation:
+    sources:
+      - access: {sf_dir}/nation.parquet
+    s: ex:nation/$(n_name)
+    po:
+      - [ex:key, $(n_nationkey)]
+"""
+    from morph_kgc_spark.mapping.yarrrml import parse_yarrrml
+
+    rules = parse_yarrrml(yml)
+    # the nation mapping only exists as the join target
+    rules = [r for r in rules if r.triples_map_id == "customer"]
+    return materialize(spark, rules)
+
+
 def q_kg_gather_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RML-CC named container (rdf:Bag of order IRIs per customer)."""
     from morph_kgc_spark.operators.gather import RDF_BAG, gather_triples
@@ -479,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_named_graphs": q_kg_named_graphs,
         "kg_rdf_star": q_kg_rdf_star,
         "kg_rdf_star_ttl": q_kg_rdf_star_ttl,
+        "kg_yarrrml_doc": q_kg_yarrrml_doc,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -514,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_named_graphs": oracles.kg_named_graphs(),
         "kg_rdf_star": oracles.kg_rdf_star(),
         "kg_rdf_star_ttl": oracles.kg_rdf_star_ttl(),
+        "kg_yarrrml_doc": oracles.kg_yarrrml_doc(),
         "ann_ivf_topk": oracles.ann_ivf_topk(),
         "dedup_exact": oracles.dedup_exact(),
         "dedup_minhash_lsh": oracles.dedup_minhash_lsh(),

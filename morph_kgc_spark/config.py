@@ -117,7 +117,7 @@ def materialize_from_config(spark: SparkSession, config: str,
     distributed N-Triples directory.
     """
     from morph_kgc_spark.engine import materialize
-    from morph_kgc_spark.mapping.parser import parse_mapping
+    from morph_kgc_spark.mapping import parse_any_mapping as parse_mapping
 
     cfg = load_config(config)
     rules = []

@@ -45,8 +45,8 @@ def materialize(spark: SparkSession,
     registry = registry or default_registry()
 
     if isinstance(mapping, str):
-        from morph_kgc_spark.mapping.parser import parse_mapping
-        rules = parse_mapping(mapping)
+        from morph_kgc_spark.mapping import parse_any_mapping
+        rules = parse_any_mapping(mapping)
     else:
         rules = list(mapping)
 

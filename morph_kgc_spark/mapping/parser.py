@@ -54,7 +54,8 @@ def _all(g: Graph, s: Term, *names: str) -> list[Term]:
 
 _EXT_KIND = {
     ".csv": "csv", ".tsv": "csv", ".json": "json", ".parquet": "parquet",
-    ".orc": "orc", ".xlsx": "pandas_any", ".feather": "pandas_any",
+    ".orc": "orc", ".xml": "xml", ".xlsx": "pandas_any",
+    ".feather": "pandas_any",
 }
 
 

@@ -365,6 +365,33 @@ FROM orders
 """
 
 
+def kg_yarrrml_doc() -> str:
+    """Three-rule YARRRML document over customer: plain literal po,
+    language-tagged po, and a referencing object map with condition."""
+    return f"""
+SELECT DISTINCT subject, predicate, object FROM (
+  SELECT
+    '<{EX}customer/' || CAST(c_custkey AS VARCHAR) || '>' AS subject,
+    '<{FOAF_NAME}>' AS predicate,
+    '"' || c_name || '"' AS object
+  FROM customer
+  UNION ALL
+  SELECT
+    '<{EX}customer/' || CAST(c_custkey AS VARCHAR) || '>',
+    '<{EX}segment>',
+    '"' || c_mktsegment || '"@en'
+  FROM customer
+  UNION ALL
+  SELECT
+    '<{EX}customer/' || CAST(c_custkey AS VARCHAR) || '>',
+    '<{EX}nation>',
+    '<{EX}nation/' || n_name || '>'
+  FROM customer JOIN nation
+    ON CAST(c_nationkey AS VARCHAR) = CAST(n_nationkey AS VARCHAR)
+)
+"""
+
+
 def kg_gather_bag() -> str:
     """RML-CC named container: one rdf:Bag of order IRIs per customer.
     Membership order = lexicographic IRI order (the melt/sort semantics).
