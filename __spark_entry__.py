@@ -301,6 +301,41 @@ mappings:
     return materialize(spark, rules)
 
 
+def q_kg_xml_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source with an XPath iterator: region rows round-tripped
+    through an XML document (attribute + nested-element references,
+    reference data_file.py:188-253)."""
+    import tempfile
+    from xml.sax.saxutils import escape
+
+    rows = spark.read.parquet(f"{sf_dir}/region.parquet").collect()
+    parts = ["<regions>"]
+    for r in sorted(rows, key=lambda r: r.r_regionkey):
+        parts.append(
+            f'<region key="{r.r_regionkey}"><info><name>'
+            f"{escape(r.r_name)}</name></info></region>")
+    parts.append("</regions>")
+    xml_path = tempfile.mktemp(suffix=".xml", prefix="kg_xml_xpath_")
+    with open(xml_path, "w", encoding="utf-8") as f:
+        f.write("".join(parts))
+
+    ttl = f"""
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <{EX}> .
+<#TM> rml:logicalSource [
+    rml:source "{xml_path}" ;
+    rml:referenceFormulation ql:XPath ;
+    rml:iterator "/regions/region" ] ;
+  rr:subjectMap [ rr:template "{EX}region/{{@key}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:name ;
+    rr:objectMap [ rml:reference "info/name" ] ] .
+"""
+    return materialize(spark, ttl)
+
+
 def q_kg_gather_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RML-CC named container (rdf:Bag of order IRIs per customer)."""
     from morph_kgc_spark.operators.gather import RDF_BAG, gather_triples
@@ -520,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdf_star": q_kg_rdf_star,
         "kg_rdf_star_ttl": q_kg_rdf_star_ttl,
         "kg_yarrrml_doc": q_kg_yarrrml_doc,
+        "kg_xml_xpath": q_kg_xml_xpath,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -556,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdf_star": oracles.kg_rdf_star(),
         "kg_rdf_star_ttl": oracles.kg_rdf_star_ttl(),
         "kg_yarrrml_doc": oracles.kg_yarrrml_doc(),
+        "kg_xml_xpath": oracles.kg_xml_xpath(),
         "ann_ivf_topk": oracles.ann_ivf_topk(),
         "dedup_exact": oracles.dedup_exact(),
         "dedup_minhash_lsh": oracles.dedup_minhash_lsh(),

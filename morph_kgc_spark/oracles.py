@@ -392,6 +392,18 @@ SELECT DISTINCT subject, predicate, object FROM (
 """
 
 
+def kg_xml_xpath() -> str:
+    """Twin of the XML-roundtrip query: the XML document is generated
+    from the region table, so the oracle is the plain projection."""
+    return f"""
+SELECT DISTINCT
+  '<{EX}region/' || CAST(r_regionkey AS VARCHAR) || '>' AS subject,
+  '<{EX}name>' AS predicate,
+  '"' || r_name || '"' AS object
+FROM region
+"""
+
+
 def kg_gather_bag() -> str:
     """RML-CC named container: one rdf:Bag of order IRIs per customer.
     Membership order = lexicographic IRI order (the melt/sort semantics).

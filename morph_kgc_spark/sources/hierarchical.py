@@ -12,14 +12,18 @@ Spark re-expression:
   ``flatten_rows`` recursively explodes array fields (cartesian product
   via sequential explode_outer, exactly the reference's product
   semantics) and flattens structs to dotted column names;
-- XML: Spark 4's native XML reader with ``rowTag``; attribute columns
-  are renamed ``_x`` → ``@x`` to match RML XPath reference syntax
-  (``@ID``); multi-valued elements explode per reference like
-  data_file.py:250-251.
+- XML: Spark 4's native XML reader; the XPath iterator's last element
+  step becomes the distributed rowTag scan, then ``flatten_xml``
+  exposes reference paths as columns — ``name`` (element text,
+  including text of elements with attributes via ``_VALUE``), ``@id``
+  (attributes, at any depth: ``route/stop/@id``), ``address/city``
+  (nested elements) — and explodes multi-valued elements exactly like
+  data_file.py:211-251 (one explode per array = cartesian product).
 
-Supported iterator grammar (covers the reference test corpus):
+Supported JSON iterator grammar (covers the reference test corpus):
 ``$``, ``$.*``, ``$[*]``, and dotted paths with optional ``[*]`` on any
-step (``$.students[*]``, ``$.a.b[*]``).
+step (``$.students[*]``, ``$.a.b[*]``). XPath iterators support element
+steps and ``//`` descent; predicates/functions are rejected loudly.
 """
 
 from __future__ import annotations
@@ -92,12 +96,83 @@ def json_source(spark: SparkSession, path: str, iterator: str = "$.*",
     return flatten_rows(df) if flatten else df
 
 
-def xml_source(spark: SparkSession, path: str, row_tag: str,
-               flatten: bool = True) -> DataFrame:
+# an XPath iterator step: a plain element name (no predicates/functions)
+_XPATH_STEP_RE = re.compile(r"^[A-Za-z_][\w.-]*$")
+
+
+def xpath_row_tag(iterator: str) -> str:
+    """Last element step of an XPath iterator → Spark XML rowTag.
+
+    Spark's XML reader matches the rowTag element at any depth, which
+    equals the reference's XPath evaluation (data_file.py:205) for the
+    absolute/descendant paths RML test cases use (``/students/student``,
+    ``//student``, ``students/student``) as long as the tag name is not
+    reused at other depths — the common case for data documents.
+    Predicates/functions in steps are rejected explicitly.
+    """
+    steps = [s for s in iterator.strip().split("/") if s not in ("", "*")]
+    if not steps:
+        raise ValueError(f"cannot derive a rowTag from iterator {iterator!r}")
+    last = steps[-1]
+    if not _XPATH_STEP_RE.match(last):
+        raise ValueError(
+            f"unsupported XPath step {last!r} in iterator {iterator!r} "
+            "(predicates and functions are not supported)")
+    return last
+
+
+def _xml_leaf_name(name: str) -> str:
+    """Rename the last path segment ``_attr`` → ``@attr`` (RML reference
+    syntax ``route/stop/@id``); ``_VALUE`` collapses into the parent
+    element's own path (XPath ``element`` returns its text)."""
+    head, _, last = name.rpartition("/")
+    if last == "_VALUE":
+        return head
+    if last.startswith("_") and not last.startswith("_corrupt"):
+        last = "@" + last[1:]
+    return f"{head}/{last}" if head else last
+
+
+def flatten_xml(df: DataFrame) -> DataFrame:
+    """Cartesian-flatten an XML row: structs → ``a/b`` columns, arrays →
+    explode_outer, attributes → ``@attr`` names at every depth.
+
+    Mirrors the reference's per-reference findall + explode
+    (data_file.py:211-251): multi-valued elements multiply rows, one
+    explode per array (sequential explodes = cartesian product).
+    """
+    while True:
+        changed = False
+        cols = []
+        for field in df.schema.fields:
+            name, dt = field.name, field.dataType
+            q = f"`{name}`"
+            if isinstance(dt, StructType):
+                for sub in dt.fields:
+                    alias = name + "/" + sub.name
+                    cols.append(F.col(f"{q}.`{sub.name}`").alias(alias))
+                changed = True
+            elif isinstance(dt, ArrayType):
+                cols.append(F.explode_outer(F.col(q)).alias(name))
+                changed = True
+            else:
+                out = _xml_leaf_name(name)
+                cols.append(F.col(q).alias(out))
+                changed = changed or out != name
+        if not changed:
+            return df
+        df = df.select(*cols)
+
+
+def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
+               iterator: str | None = None, flatten: bool = True) -> DataFrame:
+    """XML scan with an XPath iterator (subset) per reference
+    data_file.py:188-253. ``iterator`` (e.g. ``/students/student``)
+    derives the rowTag; references then address flattened columns:
+    ``name``, ``@id``, ``address/city``, ``route/stop/@id``."""
+    if row_tag is None:
+        if iterator is None:
+            raise ValueError("xml source needs rowTag or iterator")
+        row_tag = xpath_row_tag(iterator)
     df = spark.read.format("xml").option("rowTag", row_tag).load(path)
-    # attribute columns: Spark names them _attr; RML references use @attr
-    renames = {c: "@" + c[1:] for c in df.columns
-               if c.startswith("_") and not c.startswith("_corrupt")}
-    for old, new in renames.items():
-        df = df.withColumnRenamed(old, new)
-    return flatten_rows(df) if flatten else df
+    return flatten_xml(df) if flatten else df

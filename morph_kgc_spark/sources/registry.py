@@ -111,7 +111,8 @@ class SourceRegistry:
         if kind == "xml":
             from morph_kgc_spark.sources.hierarchical import xml_source
 
-            return xml_source(spark, value, row_tag=opts.get("rowTag", "row"))
+            return xml_source(spark, value, row_tag=opts.get("rowTag"),
+                              iterator=opts.get("iterator", "/row"))
         if kind == "sql":
             return spark.sql(value)
         if kind == "jdbc":

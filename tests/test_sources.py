@@ -1,7 +1,9 @@
-"""Hierarchical sources: JSON iterators + cartesian flatten, XML rowTag."""
+"""Hierarchical sources: JSON iterators + cartesian flatten, XML XPath."""
 
 import json
 import os
+
+import pytest
 
 from morph_kgc_spark import materialize
 from morph_kgc_spark import model as M
@@ -81,3 +83,82 @@ def test_python_sources(spark):
         (f"<{EX}2>", f"<{EX}name>", '"r"'),
         (f"<{EX}3>", f"<{EX}name>", '"j"'),
     }
+
+
+STUDENTS_XML = """<?xml version="1.0"?>
+<students>
+  <student id="10">
+    <name>Venus</name>
+    <address zip="28001"><city>Madrid</city></address>
+    <hobby>tennis</hobby><hobby>chess</hobby>
+    <note lang="en">fast</note>
+  </student>
+  <student id="20">
+    <name>Demi</name>
+    <address zip="10001"><city>NYC</city></address>
+    <hobby>darts</hobby>
+    <note lang="nl">snel</note>
+  </student>
+</students>"""
+
+
+def test_xml_xpath_iterator_nested_and_attrs(spark, tmp_path):
+    """XPath iterator /students/student with nested-element, nested-
+    attribute, and text-with-attribute references (reference
+    data_file.py:188-253 semantics)."""
+    p = str(tmp_path / "students.xml")
+    with open(p, "w") as f:
+        f.write(STUDENTS_XML)
+    df = xml_source(spark, p, iterator="/students/student")
+    cols = set(df.columns)
+    assert {"@id", "name", "address/city", "address/@zip",
+            "hobby", "note", "note/@lang"} <= cols
+    rows = {(str(r["@id"]), r["name"], r["address/city"],
+             str(r["address/@zip"]), r["hobby"], r["note"], r["note/@lang"])
+            for r in df.collect()}
+    # multi-valued hobby explodes per row (cartesian per reference)
+    assert ("10", "Venus", "Madrid", "28001", "tennis", "fast", "en") in rows
+    assert ("10", "Venus", "Madrid", "28001", "chess", "fast", "en") in rows
+    assert ("20", "Demi", "NYC", "10001", "darts", "snel", "nl") in rows
+    assert len(rows) == 3
+
+
+def test_xml_xpath_rejects_predicates():
+    from morph_kgc_spark.sources.hierarchical import xpath_row_tag
+
+    with pytest.raises(ValueError, match="predicates"):
+        xpath_row_tag("/students/student[1]")
+    assert xpath_row_tag("//student") == "student"
+    assert xpath_row_tag("students/student") == "student"
+
+
+def test_materialize_from_xml_mapping_with_iterator(spark, tmp_path):
+    """Full path: Turtle mapping with ql:XPath iterator over XML."""
+    p = str(tmp_path / "students.xml")
+    with open(p, "w") as f:
+        f.write(STUDENTS_XML)
+    ttl = f"""
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://example.com/> .
+<#TM> rml:logicalSource [
+    rml:source "{p}" ;
+    rml:referenceFormulation ql:XPath ;
+    rml:iterator "/students/student" ] ;
+  rr:subjectMap [ rr:template "http://example.com/student/{{@id}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:city ;
+    rr:objectMap [ rml:reference "address/city" ] ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:hobby ;
+    rr:objectMap [ rml:reference "hobby" ] ] .
+"""
+    out = {(r.subject, r.predicate, r.object)
+           for r in materialize(spark, ttl).collect()}
+    ex = "http://example.com/"
+    assert (f"<{ex}student/10>", f"<{ex}city>", '"Madrid"') in out
+    assert (f"<{ex}student/10>", f"<{ex}hobby>", '"tennis"') in out
+    assert (f"<{ex}student/10>", f"<{ex}hobby>", '"chess"') in out
+    assert (f"<{ex}student/20>", f"<{ex}hobby>", '"darts"') in out
+    assert len(out) == 5  # 2 city + 3 hobby
