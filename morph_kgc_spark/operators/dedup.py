@@ -184,24 +184,59 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
-                       n: int = 3, k: int = 10) -> DataFrame:
+                       n: int = 3, k: int = 10,
+                       df_cap: int | None = 1000) -> DataFrame:
     """Top-k most similar pairs by exact n-gram Jaccard.
 
-    Candidates come from the shingle posting-list self-join (pairs sharing
-    ≥1 shingle), so cost ~ Σ posting_list², not |corpus|². Returns
-    (id_a, id_b, jaccard) ordered deterministically
+    Two-phase plan, hot-shingle-safe at corpus scale:
+
+    1. *Candidate generation* self-joins posting lists of shingles with
+       document frequency ≤ ``df_cap`` only — a corpus-wide common
+       3-gram (df ≈ N) would otherwise blow the join to ~N² rows; the
+       cap bounds candidate cost at Σ min(df, cap)².
+    2. *Exact intersection* re-joins each candidate pair against the
+       FULL shingle table (candidates ⋈ shingles(id_a) ⋈ shingles(id_b,
+       shingle)), so the Jaccard value itself is exact over all
+       shingles, including capped ones. Cost ~ |candidates| × avg doc
+       shingles — linear in candidates, never quadratic in df.
+
+    A pair is only *missed* if it shares no shingle rarer than df_cap —
+    for near-dup detection such pairs are noise (their similarity comes
+    entirely from boilerplate). ``df_cap=None`` restores the single-
+    phase exhaustive join. Returns (id_a, id_b, jaccard) ordered
     (jaccard desc, id_a, id_b).
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle", how="inner")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+
+    if df_cap is None:
+        inter = (
+            a.join(b, on="shingle", how="inner")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                .where(F.col("df") <= df_cap).select("shingle"))
+        ra = a.join(rare, "shingle")
+        rb = b.join(rare, "shingle")
+        candidates = (
+            ra.join(rb, on="shingle", how="inner")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
+        inter = (
+            candidates
+            .join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = (
@@ -219,18 +254,48 @@ def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
 
 
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
-                        block_col: str, threshold: float = 0.8) -> DataFrame:
-    """Embedding-cosine near-dup pairs within blocks.
+                        block_col: str, threshold: float = 0.8,
+                        max_block_size: int | None = 100_000) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocks, skew-capped.
 
     Blocks on ``block_col`` (a label / coarse IVF cell) so the pairwise
-    cosine never crosses blocks — at scale, block with k-means cell ids.
-    Vectors are cast to array<double> and the dot product is evaluated in
-    index order so the oracle's arithmetic matches bit-for-bit.
+    cosine never crosses blocks. Within-block all-pairs is quadratic in
+    block size, so blocks larger than ``max_block_size`` are sub-split
+    by a secondary deterministic quantizer — the sign pattern of the
+    first ⌈log2(n/cap)⌉ vector coordinates (a fixed-hyperplane SRP
+    bucket). Sub-splitting is *approximate* for oversized blocks only:
+    a near-dup pair straddling a sign boundary in those coordinates is
+    missed; high-cosine pairs rarely straddle (their coordinates agree
+    in sign wherever |x| is non-negligible). Blocks within the cap are
+    exact and byte-identical to the uncapped plan.
+
+    Vectors are cast to array<double> and the dot product is evaluated
+    in index order so the oracle's arithmetic matches bit-for-bit.
     """
     v = df.select(
         F.col(id_col), F.col(block_col).alias("block"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    if max_block_size is not None:
+        counts = v.groupBy("block").agg(F.count("*").alias("__bn"))
+        v = v.join(F.broadcast(counts), "block")
+        # bits so that expected sub-block size ≤ cap: 2^bits ≥ n/cap
+        bits = F.ceil(F.log2(F.col("__bn") / F.lit(max_block_size)))
+        bits = F.when(F.col("__bn") <= max_block_size, F.lit(0)) \
+                .otherwise(F.least(bits, F.lit(16)))
+        sign_bits = F.when(
+            bits == 0, F.lit("")
+        ).otherwise(
+            F.concat_ws("", F.transform(
+                F.slice("v", F.lit(1), bits),
+                lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ))
+        )
+        v = v.select(
+            F.col(id_col),
+            F.concat_ws("#", F.col("block"), sign_bits).alias("block"),
+            "v",
+        )
     a = v.select(F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"))
     b = v.select(F.col(id_col).alias("id_b"), "block", F.col("v").alias("vb"))
     dot = F.aggregate(

@@ -125,42 +125,68 @@ def alias_dictionary(spark: SparkSession, n_entities: int = 256) -> DataFrame:
     )
 
 
-def detect_mentions(pages: DataFrame, aliases: DataFrame) -> DataFrame:
+def detect_mentions(pages: DataFrame, aliases: DataFrame,
+                    max_inset_aliases: int = 4096) -> DataFrame:
     """Candidate generation: (url, text, lang, alias, entity_iri, prior).
 
-    Token-aligned dictionary matching as a pure-JVM broadcast HASH join:
-    for each word-count ``w`` present in the dictionary, the page text is
-    exploded into distinct word w-grams and equi-joined against the
-    (broadcast) aliases of that width. The pages side never shuffles,
-    nothing leaves whole-stage codegen, and cost is
-    O(pages × |text| × |distinct widths|) — independent of dictionary
-    size (vs. O(pages × aliases) for a contains nested-loop, or a
-    python-regex alternation UDF that serializes in chained-UDF stages).
+    Token-aligned dictionary matching, two regimes by dictionary size:
+
+    *Small dictionaries* (≤ ``max_inset_aliases``): for each word-count
+    ``w``, the page's distinct word w-grams are filtered against a
+    static InSet of that width's aliases and only real matches explode,
+    then broadcast-hash-join to attach entity/prior. Zero shuffle on
+    the pages side, everything in whole-stage codegen.
+
+    *Large dictionaries*: a 10M-alias InSet neither compiles into a
+    plan nor belongs there. Instead the distinct w-grams explode as
+    slim (url, alias) rows — the wide text column is NOT dragged onto
+    every gram — and equi-join the alias table (AQE picks broadcast vs
+    shuffle by its actual size); matches then rejoin the pages table on
+    url to recover (text, lang). Plan size is O(|widths|), independent
+    of dictionary size; gram-explode cost is O(pages × |text| ×
+    |widths|) either way.
+
+    Only per-width alias counts are ever collected to the driver.
     """
-    by_width: dict[int, list[str]] = {}
-    for r in aliases.select("alias", "n_words").collect():
-        by_width.setdefault(r.n_words, []).append(r.alias)
+    widths = {r.n_words: r.cnt for r in
+              aliases.groupBy("n_words").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(widths.values())
 
     # materialize the token array ONCE: Catalyst does no common-subexpr
     # elimination inside transform() lambdas, so building n-grams from
     # split(text) inline re-splits the text per element_at — O(|text|²)
     tokenized = pages.select("url", "text", "lang",
                              tokens(F.col("text")).alias("__tok"))
-    out = None
-    for w, words in sorted(by_width.items()):
-        # per-row: filter the gram array against a static InSet of the
-        # dictionary slice (O(1)/gram), exploding ONLY real matches —
-        # never the full gram stream (that would be rows × grams with the
-        # text column duplicated onto every gram)
-        grams = F.array_distinct(word_ngrams(F.col("__tok"), w))
-        matched = F.filter(grams, lambda g: g.isin(*words))
-        cand = tokenized.select(
-            "url", "text", "lang", F.explode(matched).alias("alias"),
-        ).join(F.broadcast(aliases.where(F.col("n_words") == w)),
-               on="alias", how="inner") \
-         .select("url", "text", "lang", "alias", "entity_iri", "prior")
-        out = cand if out is None else out.unionAll(cand)
-    return out
+
+    if total <= max_inset_aliases:
+        by_width: dict[int, list[str]] = {}
+        for r in aliases.select("alias", "n_words").collect():
+            by_width.setdefault(r.n_words, []).append(r.alias)
+        out = None
+        for w, words in sorted(by_width.items()):
+            grams = F.array_distinct(word_ngrams(F.col("__tok"), w))
+            matched = F.filter(grams, lambda g: g.isin(*words))
+            cand = tokenized.select(
+                "url", "text", "lang", F.explode(matched).alias("alias"),
+            ).join(F.broadcast(aliases.where(F.col("n_words") == w)),
+                   on="alias", how="inner") \
+             .select("url", "text", "lang", "alias", "entity_iri", "prior")
+            out = cand if out is None else out.unionAll(cand)
+        return out
+
+    # large-dictionary regime: slim gram stream, no dictionary in the plan
+    grams = None
+    for w in sorted(widths):
+        g = tokenized.select(
+            "url",
+            F.explode(F.array_distinct(word_ngrams(F.col("__tok"), w)))
+             .alias("alias"))
+        grams = g if grams is None else grams.unionAll(g)
+    hits = grams.join(aliases, on="alias", how="inner") \
+                .select("url", "alias", "entity_iri", "prior")
+    return hits.join(pages.select("url", "text", "lang"), on="url",
+                     how="inner") \
+               .select("url", "text", "lang", "alias", "entity_iri", "prior")
 
 
 @pandas_udf(DoubleType())

@@ -1,0 +1,126 @@
+"""Scale hardening: hot-shingle df-cap, block-size cap, large-dict mentions.
+
+Each test pairs a semantics check (hardened path ≡ exact path on
+well-behaved data) with a blowup check (the pathological fixture that
+would go quadratic no longer does).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from morph_kgc_spark.operators.dedup import (
+    embedding_dup_pairs,
+    ngram_jaccard_topk,
+)
+from morph_kgc_spark.pipeline.pages import (
+    alias_dictionary,
+    detect_mentions,
+    synthetic_pages,
+)
+
+
+# ---------------------------------------------------------------------------
+# ngram jaccard df-cap
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_df_cap_preserves_real_neardups(spark):
+    """Near-dup pairs share rare shingles → capped result == exact."""
+    rows = [(i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+            for i in range(40)]
+    # two near-dup pairs sharing long rare runs
+    rows += [(100, "the quick brown fox jumps over the lazy dog today"),
+             (101, "the quick brown fox jumps over the lazy dog tonight"),
+             (102, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+             (103, "lorem ipsum dolor sit amet consectetur adipiscing sed")]
+    df = _docs(spark, rows)
+    capped = ngram_jaccard_topk(df, "doc_id", "text", k=2, df_cap=5).collect()
+    exact = ngram_jaccard_topk(df, "doc_id", "text", k=2, df_cap=None).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in capped] == \
+           [(r.id_a, r.id_b, r.jaccard) for r in exact]
+    assert {(r.id_a, r.id_b) for r in capped} == {(100, 101), (102, 103)}
+
+
+def test_ngram_df_cap_kills_hot_shingle_blowup(spark):
+    """300 docs sharing ONLY one corpus-wide shingle: the uncapped join
+    would build 300·299/2 ≈ 45k candidate pairs from boilerplate; the
+    capped path drops the hot posting list and yields none."""
+    n = 300
+    rows = [(i, f"unique{i} alone{i} solo{i} common hot shingle")
+            for i in range(n)]
+    df = _docs(spark, rows)
+    capped = ngram_jaccard_topk(df, "doc_id", "text", k=50, df_cap=10).collect()
+    assert capped == []  # boilerplate-only pairs are not near-dups
+    exact = ngram_jaccard_topk(df, "doc_id", "text", k=50, df_cap=None).collect()
+    assert len(exact) == 50  # uncapped drowns in hot-shingle pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding block cap
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_block_cap_equals_exact_for_small_blocks(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    capped = {(r.id_a, r.id_b, r.cos_sim) for r in embedding_dup_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.3,
+        max_block_size=100_000).collect()}
+    exact = {(r.id_a, r.id_b, r.cos_sim) for r in embedding_dup_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.3,
+        max_block_size=None).collect()}
+    assert capped == exact
+
+
+def test_embedding_block_cap_subsplits_giant_block(spark):
+    """One 400-vector block with clustered sign patterns: the cap
+    sub-splits it and still finds every within-cluster near-dup."""
+    import math
+
+    rows = []
+    for i in range(400):
+        cluster = i % 4
+        # one orthant per cluster (signs differ across clusters), tiny
+        # deterministic jitter within a cluster
+        base = [(1.0 if (cluster >> b) & 1 else -1.0) for b in range(2)]
+        vec = [base[0], base[1]] + [1.0, 0.5 + (i % 7) * 1e-4]
+        norm = math.sqrt(sum(x * x for x in vec))
+        rows.append((i, [x / norm for x in vec], "B"))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    capped = embedding_dup_pairs(emb, "vec_id", "embedding", "label",
+                                 threshold=0.999, max_block_size=150)
+    exact = embedding_dup_pairs(emb, "vec_id", "embedding", "label",
+                                threshold=0.999, max_block_size=None)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    want = {(r.id_a, r.id_b) for r in exact.collect()}
+    # same-orthant near-dups all survive the sub-split
+    same_cluster = {p for p in want if p[0] % 4 == p[1] % 4}
+    assert same_cluster and same_cluster <= got
+    # the sub-split never invents pairs
+    assert got <= want
+
+
+# ---------------------------------------------------------------------------
+# detect_mentions dictionary regimes
+# ---------------------------------------------------------------------------
+
+
+def test_detect_mentions_large_dict_not_in_plan(spark):
+    """A dictionary above the InSet cap must not compile into the plan;
+    both regimes return identical mentions."""
+    pages = synthetic_pages(spark, 400, n_entities=256, partitions=4)
+    aliases = alias_dictionary(spark, 256)
+
+    small = detect_mentions(pages, aliases)  # 256 ≤ cap → InSet path
+    large = detect_mentions(pages, aliases, max_inset_aliases=10)  # force big path
+
+    plan = large._jdf.queryExecution().optimizedPlan().toString()
+    assert "Entity Alias 200" not in plan  # dictionary values absent
+
+    key = lambda df: {(r.url, r.alias, r.entity_iri) for r in df.collect()}  # noqa: E731
+    assert key(small) == key(large)
+    small_plan = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "Entity Alias 200" in small_plan  # InSet regime really differs
