@@ -336,6 +336,31 @@ def q_kg_xml_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(spark, ttl)
 
 
+def q_kg_fnml_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FNML surface: execution in predicate position + nested (composed)
+    execution in object position (RMLFNOTC0004 shape; reference
+    fnml_executer.py:69-122)."""
+    from morph_kgc_spark.functions.builtins import GREL, IDLAB
+    from morph_kgc_spark.model import EXECUTION
+
+    pred = TermMap(EXECUTION, IDLAB + "concat", IRI, args=(
+        ("str1", TermMap(CONSTANT, EX + "pred/")),
+        ("str2", TermMap(REFERENCE, "lang")),
+    ))
+    obj = TermMap(EXECUTION, GREL + "toUpperCase", LITERAL, args=(
+        ("string", TermMap(EXECUTION, GREL + "string_trim", LITERAL, args=(
+            ("string", TermMap(REFERENCE, "text")),
+        ))),
+    ))
+    rule = Rule(
+        source=_pq(sf_dir, "documents"),
+        subject=TermMap(TEMPLATE, EX + "doc/{doc_id}", IRI),
+        predicate=pred,
+        object=obj,
+    )
+    return materialize(spark, [rule])
+
+
 def q_kg_gather_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RML-CC named container (rdf:Bag of order IRIs per customer)."""
     from morph_kgc_spark.operators.gather import RDF_BAG, gather_triples
@@ -556,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdf_star_ttl": q_kg_rdf_star_ttl,
         "kg_yarrrml_doc": q_kg_yarrrml_doc,
         "kg_xml_xpath": q_kg_xml_xpath,
+        "kg_fnml_composed": q_kg_fnml_composed,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -593,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdf_star_ttl": oracles.kg_rdf_star_ttl(),
         "kg_yarrrml_doc": oracles.kg_yarrrml_doc(),
         "kg_xml_xpath": oracles.kg_xml_xpath(),
+        "kg_fnml_composed": oracles.kg_fnml_composed(),
         "ann_ivf_topk": oracles.ann_ivf_topk(),
         "dedup_exact": oracles.dedup_exact(),
         "dedup_minhash_lsh": oracles.dedup_minhash_lsh(),

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import BooleanType, StringType
 
 GREL = "http://users.ugent.be/~bjdmeest/function/grel.ttl#"
 IDLAB = "https://w3id.org/imec/idlab/function#"
@@ -119,13 +119,47 @@ def array_join(*parts, separator="") -> Column:
     return F.concat_ws(sep, *[_as_col(p) for p in parts])
 
 
+_EVAL_LOCALS = {
+    # boolean lexical forms resolve as names inside the evaluated
+    # expression, so plain XSD-boolean cells work alongside comparisons
+    "true": True, "false": False, "True": True, "False": False,
+    "yes": True, "no": False, "on": True, "off": False,
+}
+
+
+@pandas_udf(BooleanType())
+def _eval_bool_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched python-expression evaluation of condition cells
+    (reference controls_if evals the cell, built_in_functions.py:159-168).
+    Builtins are stripped; evaluation errors → null (false branch),
+    where the reference would raise."""
+    def one(v):
+        if v is None:
+            return None
+        try:
+            return bool(eval(v, {"__builtins__": {}}, dict(_EVAL_LOCALS)))
+        except Exception:
+            return None
+    return s.map(one)
+
+
 @bif(GREL + "controls_if")
 def controls_if(bool_expression, value_true, value_false=None) -> Column:
-    """Reference evals the condition as a python bool-ish of the cell
-    (built_in_functions.py:159-168); here: non-empty / non-false."""
+    """The reference *evaluates* the condition cell as a python
+    expression (built_in_functions.py:159-168): ``"1 > 2"`` → False,
+    ``"True"`` → True. Simple boolean/numeric lexicals stay JVM-side;
+    anything else goes through the Arrow eval UDF."""
     cond = _as_col(bool_expression)
-    falsy = F.lower(cond).isin("", "false", "no", "off", "0") | cond.isNull()
-    return F.when(~falsy, _as_col(value_true)).otherwise(
+    truthy_lex = F.lower(cond).isin("true", "yes", "on")
+    falsy_lex = F.lower(cond).isin("false", "no", "off", "") | cond.isNull()
+    numeric = cond.rlike(r"^[+-]?\d+(\.\d+)?$")
+    verdict = (
+        F.when(truthy_lex, F.lit(True))
+        .when(falsy_lex, F.lit(False))
+        .when(numeric, cond.cast("double") != 0)
+        .otherwise(_eval_bool_udf(cond))
+    )
+    return F.when(verdict, _as_col(value_true)).otherwise(
         _as_col(value_false) if value_false is not None else F.lit(None))
 
 
@@ -227,9 +261,9 @@ def grel_uuid() -> Column:
 
 @bif(IDLAB + "toUpperCaseURL")
 def to_upper_case_url(url) -> Column:
-    from morph_kgc_spark.functions.encoding import percent_encode_udf
+    from morph_kgc_spark.functions.encoding import percent_encode_col
 
-    return percent_encode_udf(F.upper(_as_col(url)))
+    return percent_encode_col(F.upper(_as_col(url)))
 
 
 @bif(IDLAB + "concat")

@@ -404,6 +404,21 @@ FROM region
 """
 
 
+def kg_fnml_composed() -> str:
+    """FNML twin: function in PREDICATE position (idlab:concat of a
+    constant prefix + lang reference) and a composed execution in object
+    position (toUpperCase ∘ string_trim). Escape chain mirrors the
+    compiled literal path."""
+    esc = "replace(replace(upper(trim(text)), chr(92), chr(92)||chr(92)), '\"', chr(92)||'\"')"
+    return f"""
+SELECT DISTINCT
+  '<{EX}doc/' || CAST(doc_id AS VARCHAR) || '>' AS subject,
+  '<{EX}pred/' || lang || '>' AS predicate,
+  '"' || {esc} || '"' AS object
+FROM documents
+"""
+
+
 def kg_gather_bag() -> str:
     """RML-CC named container: one rdf:Bag of order IRIs per customer.
     Membership order = lexicographic IRI order (the melt/sort semantics).

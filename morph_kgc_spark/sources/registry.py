@@ -116,7 +116,11 @@ class SourceRegistry:
         if kind == "sql":
             return spark.sql(value)
         if kind == "jdbc":
-            return spark.read.format("jdbc").options(**opts).load()
+            from morph_kgc_spark.sources.relational import jdbc_read_options
+
+            refs = opts.pop("references", ())
+            return spark.read.format("jdbc") \
+                .options(**jdbc_read_options(opts, refs)).load()
         if kind == "pandas_any":
             return _pandas_fallback(spark, value, opts)
         raise ValueError(f"unknown source kind: {kind!r}")

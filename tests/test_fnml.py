@@ -113,3 +113,41 @@ def test_user_plugin_udf(spark):
                     args=(("string", M.TermMap(M.REFERENCE, "v")),))
     [r] = compile_rule(spark, _rule(obj), reg).collect()
     assert r.object == '"HEY!"'
+
+
+def test_controls_if_evaluates_expressions(spark):
+    """The reference EVALS the condition cell (built_in_functions.py:
+    159-168): '1 > 2' is False, '2 > 1' is True — not lexical truthiness."""
+    reg = _reg(spark, pd.DataFrame({
+        "ID": ["1", "2", "3", "4", "5"],
+        "cond": ["1 > 2", "2 > 1", "(3 * 3) == 9", "'a' in 'cab'", "1 - 1"],
+    }))
+    obj = M.TermMap(M.EXECUTION, GREL + "controls_if", M.LITERAL,
+                    args=(("bool_expression", M.TermMap(M.REFERENCE, "cond")),
+                          ("value_true", M.TermMap(M.CONSTANT, "yes")),
+                          ("value_false", M.TermMap(M.CONSTANT, "no"))))
+    rows = {r.subject: r.object for r in compile_rule(spark, _rule(obj), reg).collect()}
+    assert rows == {
+        f"<{EX}1>": '"no"',   # 1 > 2 → False
+        f"<{EX}2>": '"yes"',  # 2 > 1 → True
+        f"<{EX}3>": '"yes"',  # arithmetic comparison
+        f"<{EX}4>": '"yes"',  # membership
+        f"<{EX}5>": '"no"',   # 1 - 1 == 0 → falsy
+    }
+
+
+def test_function_in_predicate_position(spark):
+    """Executions compile in predicate position too (IRI termtype)."""
+    from morph_kgc_spark.functions.builtins import IDLAB
+
+    reg = _reg(spark, pd.DataFrame({"ID": ["1"], "kind": ["knows"]}))
+    pred = M.TermMap(M.EXECUTION, IDLAB + "concat", M.IRI, args=(
+        ("str1", M.TermMap(M.CONSTANT, EX)),
+        ("str2", M.TermMap(M.REFERENCE, "kind"))))
+    rule = M.Rule(
+        source=M.Source("df", "t"),
+        subject=M.TermMap(M.TEMPLATE, EX + "{ID}", M.IRI),
+        predicate=pred,
+        object=M.TermMap(M.CONSTANT, EX + "o", M.IRI))
+    [r] = compile_rule(spark, rule, reg).collect()
+    assert r.predicate == f"<{EX}knows>"
