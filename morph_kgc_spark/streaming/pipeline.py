@@ -24,33 +24,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from morph_kgc_spark import model as M
-from morph_kgc_spark.plans.compiler import compile_term, _object_column
+from morph_kgc_spark.operators.joins import join_child_parent
+from morph_kgc_spark.plans.compiler import compile_term, _object_column, prepare_source
 
 
 def stream_triples(stream_df: DataFrame, rules: list[M.Rule],
                    event_time_col: Optional[str] = None,
-                   watermark: str = "10 minutes") -> DataFrame:
+                   watermark: str = "10 minutes",
+                   static_parents: Optional[dict[str, DataFrame]] = None) -> DataFrame:
     """Apply rules to a streaming source (one logical source shared by
     all rules — the streaming pages table).
 
-    Joins/gathers are not supported in-stream (they need stream-stream
-    state); referencing maps must be self-join-eliminated or the parent
-    broadcast as a static frame — both compile to per-row expressions.
+    Referencing object maps join against STATIC parents: pass the parent
+    DataFrames in ``static_parents`` keyed by ``Source.cache_key()`` (or
+    by ``Source.value``). Structured Streaming executes a stream-static
+    inner equi-join per micro-batch with the static side broadcast — no
+    streaming state. Stream-stream joins and gathers stay unsupported;
+    quoted maps without joins compile per-row as in batch.
     """
+    static_parents = static_parents or {}
     out = None
     for rule in rules:
-        if rule.join_conditions or rule.quoted_object or rule.quoted_subject:
-            raise ValueError("stream rules must be join-free (broadcast the "
-                             "parent as a static side or pre-join upstream)")
+        if rule.quoted_object is not None or rule.quoted_subject is not None:
+            raise ValueError("quoted maps are not supported in-stream yet")
+        parent = None
+        if rule.join_conditions:
+            if rule.parent_source is None:
+                raise ValueError("stream-stream joins are unsupported "
+                                 "(pre-join upstream or provide a static "
+                                 "parent)")
+            key = rule.parent_source.cache_key()
+            parent = static_parents.get(key) \
+                or static_parents.get(rule.parent_source.value)
+            if parent is None:
+                raise ValueError(
+                    "stream rule joins need the parent as a static frame: "
+                    f"pass static_parents[{rule.parent_source.value!r}]")
+
         refs = rule.references
         base = stream_df
         for r in refs:
             base = base.withColumn(r, F.col(r).cast("string"))
         base = base.na.drop("any", subset=refs) if refs else base
+
+        col_prefix = ""
+        if parent is not None:
+            # stream-static join: static side broadcast, evaluated per
+            # micro-batch — stateless
+            base = join_child_parent(
+                base, prepare_source(parent, rule.parent_references),
+                rule.join_conditions, broadcast=True)
+            col_prefix = "parent_"
+
+        if col_prefix and rule.parent_subject is not None:
+            obj = compile_term(rule.parent_subject, col_prefix=col_prefix)
+        elif rule.parent_subject is not None:
+            obj = compile_term(rule.parent_subject)  # self-join eliminated
+        else:
+            obj = _object_column(rule)
         cols = [
             compile_term(rule.subject).alias("subject"),
             compile_term(rule.predicate).alias("predicate"),
-            _object_column(rule).alias("object"),
+            obj.alias("object"),
         ]
         if event_time_col:
             cols.append(F.col(event_time_col).alias("__event_time"))
