@@ -34,6 +34,7 @@ class EngineConfig:
     file_path_overrides: dict[str, str] = field(default_factory=dict)  # section → path
     na_values: tuple[str, ...] = ("", "nan")
     safe_percent_encoding: str | None = None
+    only_printable: bool = False
     output_file: str | None = None
 
     @property
@@ -58,6 +59,8 @@ def load_config(config: str) -> EngineConfig:
             out.na_values = tuple(sec["na_values"].split(","))
         if "safe_percent_encoding" in sec:
             out.safe_percent_encoding = sec["safe_percent_encoding"]
+        out.only_printable = sec.getboolean(
+            "only_write_printable_characters", fallback=False)
         out.output_file = sec.get("output_file") or sec.get("output_dir")
 
     for name in parser.sections():
@@ -121,12 +124,22 @@ def materialize_from_config(spark: SparkSession, config: str,
 
     cfg = load_config(config)
     rules = []
+    tm_sections: dict[str, str] = {}
     for section, paths in cfg.section_mappings.items():
         override = cfg.file_path_overrides.get(section)
         for path in paths:
             if not os.path.exists(path):
                 raise FileNotFoundError(f"mapping file not found: {path}")
             section_rules = parse_mapping(path)
+            # one triples map must not appear in two data sources
+            # (reference validate_mappings, mapping_parser.py:750-758)
+            for r in section_rules:
+                prev = tm_sections.setdefault(r.triples_map_id, section)
+                if prev != section:
+                    raise ValueError(
+                        f"triples map {r.triples_map_id!r} appears in data "
+                        f"sources [{prev}] and [{section}]; a triples map "
+                        "cannot be repeated across data sources")
             if override:
                 section_rules = [
                     r.but(source=_override_source(r.source, override),
@@ -140,5 +153,5 @@ def materialize_from_config(spark: SparkSession, config: str,
     if write and cfg.output_file:
         from morph_kgc_spark.sinks.ntriples import write_ntriples
 
-        write_ntriples(df, cfg.output_file)
+        write_ntriples(df, cfg.output_file, only_printable=cfg.only_printable)
     return df

@@ -160,6 +160,19 @@ def remove_non_printable_py(value: str) -> str:
     return "".join(c for c in value if c.isprintable())
 
 
+# python str.isprintable() is False for Unicode categories C* (control,
+# format, surrogate, private, unassigned) and Z* (separators) except the
+# ASCII space — expressed as one Java-regex character class so the filter
+# stays in whole-stage codegen
+_NON_PRINTABLE_RE = r"[[\p{C}\p{Z}]&&[^ ]]"
+
+
+def remove_non_printable_col(col: Column) -> Column:
+    """Column twin of ``remove_non_printable_py`` (reference
+    only_write_printable_characters, utils.py) — pure JVM regex."""
+    return F.regexp_replace(col, _NON_PRINTABLE_RE, "")
+
+
 def natural_mapping_col(col: Column, datatype: str | None) -> Column:
     """Natural Mapping of SQL values (R2RML §10.2; materializer.py:133-144).
 

@@ -37,6 +37,20 @@ def _props(*names: str) -> list[str]:
     return out
 
 
+def _undelimit(identifier: str) -> str:
+    """Strip SQL-style double-quote delimiters from an identifier
+    (reference _get_undelimited_identifier, mapping_parser.py:408-416)."""
+    if len(identifier) > 1 and identifier.startswith('"') and identifier.endswith('"'):
+        return identifier[1:-1]
+    return identifier
+
+
+def _undelimit_template(template: str) -> str:
+    """``{"Name"}`` → ``{Name}`` (reference
+    _get_valid_template_identifiers, mapping_parser.py:419-424)."""
+    return template.replace('{"', "{").replace('"}', "}")
+
+
 def _first(g: Graph, s: Term, *names: str) -> Optional[Term]:
     for p in _props(*names):
         v = g.value(s, p)
@@ -65,7 +79,7 @@ def _source_for(g: Graph, tm: Term, base_dir: str) -> M.Source:
         raise ValueError("triples map without logical source")
     table = _first(g, ls, "tableName")
     if table is not None:
-        return M.Source("table", table[1])
+        return M.Source("table", _undelimit(table[1]))
     query = _first(g, ls, "query", "sqlQuery")
     if query is not None:
         return M.Source("sql", query[1])
@@ -194,11 +208,26 @@ def _gather_spec(g: Graph, om: Term) -> M.GatherSpec:
     )
 
 
+# allowed explicit termtypes per position (reference _validate_termtypes,
+# mapping_parser.py:427-460)
+_VALID_TERMTYPES = {
+    "subject": {M.IRI, M.BLANK_NODE},
+    "predicate": {M.IRI},
+    "graph": {M.IRI},
+    "object": {M.IRI, M.BLANK_NODE, M.LITERAL},
+}
+
+
 def _term_map(g: Graph, node: Term, default_termtype: str,
               position: str) -> M.TermMap:
     """Compile one term-map bnode (template/constant/reference/column)."""
     tt_node = _first(g, node, "termType")
     termtype = _TERMTYPE.get(tt_node[1], default_termtype) if tt_node else None
+    if termtype is not None and position in _VALID_TERMTYPES \
+            and termtype not in _VALID_TERMTYPES[position]:
+        raise ValueError(
+            f"invalid termtype {termtype!r} in {position} position "
+            f"(allowed: {sorted(_VALID_TERMTYPES[position])})")
 
     fn_exec = _first(g, node, "functionExecution")
     if fn_exec is not None:
@@ -207,7 +236,8 @@ def _term_map(g: Graph, node: Term, default_termtype: str,
 
     tpl = _first(g, node, "template")
     if tpl is not None:
-        return M.TermMap(M.TEMPLATE, tpl[1], termtype or default_termtype)
+        return M.TermMap(M.TEMPLATE, _undelimit_template(tpl[1]),
+                         termtype or default_termtype)
     const = _first(g, node, "constant")
     if const is not None:
         if const[0] == "iri":
@@ -216,7 +246,7 @@ def _term_map(g: Graph, node: Term, default_termtype: str,
     ref = _first(g, node, "reference", "column")
     if ref is not None:
         default = M.LITERAL if position == "object" else default_termtype
-        return M.TermMap(M.REFERENCE, ref[1], termtype or default)
+        return M.TermMap(M.REFERENCE, _undelimit(ref[1]), termtype or default)
     raise ValueError(f"term map with no template/constant/reference in {position}")
 
 
@@ -286,7 +316,10 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
         return any(o[1] in non_asserted_iris
                    for o in g.objects(tm, RDF_TYPE))
 
-    tm_index = {tm: f"tm{i}" for i, tm in enumerate(tms)}
+    # triples-map ids keep the document's own identifiers (IRI / bnode
+    # label) so a config can detect one TM mapped in two data sources
+    # (reference validate_mappings, mapping_parser.py:750-758)
+    tm_index = {tm: (tm[1] if tm[1] else f"tm{i}") for i, tm in enumerate(tms)}
     # per-TM raw rules: (Rule, quoted_subject_spec, quoted_object_spec)
     raw: dict[Term, list[tuple]] = {tm: [] for tm in tms}
 
@@ -295,7 +328,8 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
         for jc in _all(g, node, "joinCondition"):
             child = _first(g, jc, "child")
             parent = _first(g, jc, "parent")
-            jcs.append(M.JoinCondition(child[1], parent[1]))
+            jcs.append(M.JoinCondition(_undelimit(child[1]),
+                                       _undelimit(parent[1])))
         return tuple(jcs)
 
     def _quoted_spec(node: Term | None) -> Optional[_QuotedSpec]:
@@ -369,11 +403,7 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
                     continue
                 parent_tm = _first(g, om, "parentTriplesMap")
                 if parent_tm is not None:
-                    jcs = []
-                    for jc in _all(g, om, "joinCondition"):
-                        child = _first(g, jc, "child")
-                        parent = _first(g, jc, "parent")
-                        jcs.append(M.JoinCondition(child[1], parent[1]))
+                    jcs = list(_join_conditions(om))
                     parent_source = _source_for(g, parent_tm, base_dir)
                     parent_subject = _shortcut_or_map(
                         g, parent_tm, ["subjectMap"], ["subject"], M.IRI,

@@ -18,22 +18,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ntriples_lines(triples: DataFrame) -> DataFrame:
+def ntriples_lines(triples: DataFrame,
+                   only_printable: bool = False) -> DataFrame:
     """(subject, predicate, object[, graph]) → single-column line form.
 
     ``<s> <p> <o> [<g>] .`` — mirrors '{triple} .\\n' (utils.py:285-297);
     a null graph column (default graph) degrades to the triple form.
+    ``only_printable`` applies the reference's
+    only_write_printable_characters filter as a codegen regex.
     """
     cols = [F.col("subject"), F.col("predicate"), F.col("object")]
     if "graph" in triples.columns:
         cols.append(F.col("graph"))  # concat_ws skips nulls
-    return triples.select(
-        F.concat(F.concat_ws(" ", *cols), F.lit(" .")).alias("value"))
+    line = F.concat(F.concat_ws(" ", *cols), F.lit(" ."))
+    if only_printable:
+        from morph_kgc_spark.functions.encoding import remove_non_printable_col
+
+        line = remove_non_printable_col(line)
+    return triples.select(line.alias("value"))
 
 
-def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite",
+                   only_printable: bool = False) -> None:
     """Distributed N-Triples/N-Quads writer (directory of part files)."""
-    ntriples_lines(triples).write.mode(mode).text(path)
+    ntriples_lines(triples, only_printable=only_printable) \
+        .write.mode(mode).text(path)
 
 
 def to_ntriples_string(triples: DataFrame) -> str:

@@ -234,3 +234,96 @@ def test_lineage_fingerprint_survives_rebuild(spark, sf_dir):
     f1, f2 = _lineage_fingerprint(build(), "x"), _lineage_fingerprint(build(), "x")
     assert f1 == f2
     assert _lineage_fingerprint(build(), "other") != f1
+
+
+# ---------------------------------------------------------------------------
+# delimited identifiers, validation, printable-characters sink filter
+# ---------------------------------------------------------------------------
+
+
+def test_delimited_identifiers_stripped(spark, tmp_path):
+    """SQL-delimited identifiers in templates/references/join conditions
+    resolve to the bare column (reference mapping_parser.py:408-424,
+    633-680)."""
+    csv = tmp_path / "d.csv"
+    csv.write_text("ID,Full Name\n7,Ada\n")
+    ttl = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+<#TM> rml:logicalSource [ rml:source "{csv}" ] ;
+  rr:subjectMap [ rr:template "{EX}p/{{\\"ID\\"}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicate <{EX}name> ;
+    rr:objectMap [ rml:reference '"Full Name"' ] ] .
+"""
+    rules = parse_mapping(ttl)
+    (rule,) = rules
+    assert rule.subject.value == EX + "p/{ID}"
+    assert rule.object.value == "Full Name"
+    out = materialize(spark, rules).collect()
+    assert {(r.subject, r.object) for r in out} == {(f"<{EX}p/7>", '"Ada"')}
+
+
+def test_invalid_predicate_termtype_rejected():
+    ttl = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+<#TM> rml:logicalSource [ rml:source "x.csv" ] ;
+  rr:subjectMap [ rr:template "{EX}s/{{ID}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicateMap [ rr:template "{EX}p/{{K}}" ; rr:termType rr:Literal ] ;
+    rr:objectMap [ rml:reference "V" ] ] .
+"""
+    with pytest.raises(ValueError, match="predicate"):
+        parse_mapping(ttl)
+
+
+def test_config_rejects_triples_map_in_two_sources(spark, tmp_path):
+    csv = tmp_path / "d.csv"
+    csv.write_text("ID\n1\n")
+    ttl = tmp_path / "m.ttl"
+    ttl.write_text(f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+<#TM> rml:logicalSource [ rml:source "{csv}" ] ;
+  rr:subjectMap [ rr:template "{EX}p/{{ID}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicate <{EX}id> ; rr:objectMap [ rml:reference "ID" ] ] .
+""")
+    ini = f"[DS1]\nmappings={ttl}\n[DS2]\nmappings={ttl}\n"
+    with pytest.raises(ValueError, match="cannot be repeated"):
+        materialize_from_config(spark, ini)
+
+
+def test_remove_non_printable_col_matches_python(spark):
+    from morph_kgc_spark.functions.encoding import (
+        remove_non_printable_col,
+        remove_non_printable_py,
+    )
+
+    samples = ["plain", "tab\there", "nl\nthere", "bell\x07", "nbsp x",
+               "zero​width", "para sep", "ok space", "ü€日"]
+    df = spark.createDataFrame([(s,) for s in samples], ["v"])
+    rows = df.select("v", remove_non_printable_col(F.col("v")).alias("c")).collect()
+    for r in rows:
+        assert r.c == remove_non_printable_py(r.v), repr(r.v)
+
+
+def test_only_printable_in_config_write(spark, tmp_path):
+    csv = tmp_path / "d.csv"
+    csv.write_text('ID,Name\n1,a\x07b\n')
+    ttl = tmp_path / "m.ttl"
+    ttl.write_text(f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+<#TM> rml:logicalSource [ rml:source "{csv}" ] ;
+  rr:subjectMap [ rr:template "{EX}p/{{ID}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicate <{EX}name> ; rr:objectMap [ rml:reference "Name" ] ] .
+""")
+    out_dir = str(tmp_path / "out.nt")
+    ini = (f"[CONFIGURATION]\nonly_write_printable_characters=yes\n"
+           f"output_file={out_dir}\n[DS]\nmappings={ttl}\n")
+    materialize_from_config(spark, ini, write=True)
+    lines = [r.value for r in spark.read.text(out_dir).collect()]
+    assert lines == [f'<{EX}p/1> <{EX}name> "ab" .']
