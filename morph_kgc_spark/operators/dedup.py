@@ -188,28 +188,39 @@ def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
                        df_cap: int | None = 1000) -> DataFrame:
     """Top-k most similar pairs by exact n-gram Jaccard.
 
-    Two-phase plan, hot-shingle-safe at corpus scale:
+    Hot-shingle-safe at corpus scale via a rare/hot posting split:
 
-    1. *Candidate generation* self-joins posting lists of shingles with
-       document frequency ≤ ``df_cap`` only — a corpus-wide common
-       3-gram (df ≈ N) would otherwise blow the join to ~N² rows; the
-       cap bounds candidate cost at Σ min(df, cap)².
-    2. *Exact intersection* re-joins each candidate pair against the
-       FULL shingle table (candidates ⋈ shingles(id_a) ⋈ shingles(id_b,
-       shingle)), so the Jaccard value itself is exact over all
-       shingles, including capped ones. Cost ~ |candidates| × avg doc
-       shingles — linear in candidates, never quadratic in df.
+    - shingles with document frequency ≤ ``df_cap`` (*rare*) self-join
+      exactly as the exhaustive plan does — one equi-join + groupBy
+      counting the rare part of each pair's intersection. A corpus-wide
+      common 3-gram (df ≈ N) would blow that join to ~N² rows; the cap
+      bounds it at Σ min(df, cap)².
+    - *hot* shingles (df > df_cap) never self-join; their exact
+      contribution is repaired per CANDIDATE pair by joining the rare
+      pairs against the hot postings of each side — cost
+      |candidates| × hot-shingles-per-doc, and literally zero extra
+      rows when no shingle exceeds the cap (the common case).
 
-    A pair is only *missed* if it shares no shingle rarer than df_cap —
-    for near-dup detection such pairs are noise (their similarity comes
-    entirely from boilerplate). ``df_cap=None`` restores the single-
-    phase exhaustive join. Returns (id_a, id_b, jaccard) ordered
+    The Jaccard value is therefore exact over ALL shingles for every
+    pair that shares ≥1 rare shingle. A pair is only *missed* if its
+    overlap is pure boilerplate (no shared shingle rarer than df_cap) —
+    noise for near-dup detection. ``df_cap=None`` restores the
+    exhaustive single join. Returns (id_a, id_b, jaccard) ordered
     (jaccard desc, id_a, id_b).
     """
     sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+
+    if df_cap is not None:
+        # statistics-driven plan choice: one cheap aggregate over the
+        # (persisted) shingle table decides whether any posting list
+        # exceeds the cap. No hot shingles → the exhaustive single-join
+        # plan IS the capped plan, without the split's extra joins.
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        if dfreq.where(F.col("df") > df_cap).limit(1).count() == 0:
+            df_cap = None
 
     if df_cap is None:
         inter = (
@@ -219,22 +230,30 @@ def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
             .agg(F.count("*").alias("inter"))
         )
     else:
-        rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-                .where(F.col("df") <= df_cap).select("shingle"))
+        rare = dfreq.where(F.col("df") <= df_cap).select("shingle")
+        hot = dfreq.where(F.col("df") > df_cap).select("shingle")
         ra = a.join(rare, "shingle")
         rb = b.join(rare, "shingle")
-        candidates = (
+        rare_inter = (
             ra.join(rb, on="shingle", how="inner")
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates()
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("rare_n"))
+        )
+        hot_a = a.join(hot, "shingle")
+        hot_b = b.join(hot, "shingle")
+        hot_inter = (
+            rare_inter.select("id_a", "id_b")
+            .join(hot_a, "id_a")
+            .join(hot_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("hot_n"))
         )
         inter = (
-            candidates
-            .join(a, "id_a")
-            .join(b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
+            rare_inter.join(hot_inter, ["id_a", "id_b"], "left")
+            .select("id_a", "id_b",
+                    (F.col("rare_n")
+                     + F.coalesce(F.col("hot_n"), F.lit(0))).alias("inter"))
         )
 
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
