@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Real Spark-side plumbing (schemas, Arrow batch shapes, partition-safe
-mapInPandas) with the codec layer stubbed: the image/audio libraries are
-not in this container, so ``decode`` routes to a deterministic fake
-(seeded from the content hash) unless a real decoder is injected. The
-UDF signatures, batch iteration, and output schemas are production-real;
-swapping ``_fake_decode`` for PIL/torchaudio is a one-function change.
+IMAGE decode/resize is REAL: PNG (zlib is stdlib; unfiltering is numpy),
+BMP, and P6-PPM are handled by :mod:`morph_kgc_spark.operators.imagecodec`
+without any codec library. Unrecognized formats (JPEG etc. — those DO
+need external codecs) fall back per configuration: metadata extraction
+uses a deterministic content-hash fake (documented), resize raises.
+VIDEO frame sampling stays a deterministic fake — container demuxing is
+genuinely out of reach without ffmpeg — with production-real schemas
+and batch shapes.
 
 Scale design: all operators are ``mapInPandas`` over the binary column —
 per-partition Arrow batches, no shuffle; heavy media rows should be
@@ -45,19 +47,29 @@ IMAGE_META_SCHEMA = StructType([
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for an image decoder (no codec libs in this
-    container): dimensions derived from the content hash. Replace with
-    PIL.Image.open in production — the schema and call shape are final.
-    """
+    """Deterministic stand-in for formats that DO need external codecs
+    (JPEG/WebP): dimensions derived from the content hash."""
     h = hashlib.md5(content).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192, 3
+
+
+def _real_decode(content: bytes) -> tuple[int, int, int]:
+    """PNG/BMP/PPM via the stdlib codec; hash-fake for other formats."""
+    from morph_kgc_spark.operators.imagecodec import decode_image, sniff_format
+
+    if sniff_format(content) is None:
+        return _fake_decode(content)
+    arr = decode_image(content)
+    h, w = arr.shape[:2]
+    c = arr.shape[2] if arr.ndim == 3 else 1
+    return w, h, c
 
 
 def image_metadata(media: DataFrame,
                    decode: Optional[Callable[[bytes], tuple[int, int, int]]] = None
                    ) -> DataFrame:
     """Decode → (media_id, width, height, n_channels, content_hash)."""
-    decode = decode or _fake_decode
+    decode = decode or _real_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -76,21 +88,37 @@ def image_metadata(media: DataFrame,
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: REAL batching/schema, stubbed pixel work.
-
-    Raises NotImplementedError inside the batch fn if a real resize is
-    requested without an injected decoder — clearly marked per brief.
+    """Real image resize: decode (PNG/BMP/PPM) → deterministic
+    nearest-neighbor resize → re-encode as PNG. Per-partition Arrow
+    batches, no shuffle. Unrecognized formats raise inside the batch
+    (a production deployment swaps in a full codec; the plumbing,
+    schema, and determinism contract are final here).
     """
     out_schema = StructType([
         StructField("media_id", StringType()),
         StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
     ])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image resize needs a codec library (PIL) not present in this "
-            "container; inject a decoder or run on a full image")
-        yield  # pragma: no cover
+        from morph_kgc_spark.operators.imagecodec import (
+            decode_image,
+            encode_png,
+            resize_nearest,
+        )
+
+        for pdf in it:
+            out = {"media_id": [], "content": [], "width": [], "height": []}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    continue
+                arr = resize_nearest(decode_image(bytes(c)), width, height)
+                out["media_id"].append(mid)
+                out["content"].append(encode_png(arr))
+                out["width"].append(width)
+                out["height"].append(height)
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, out_schema)
 

@@ -166,8 +166,10 @@ def test_image_metadata_plumbing(spark):
     assert m["m1"].content_hash == meta2["m1"].content_hash
 
 
-def test_resize_stub_raises(spark):
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+def test_resize_unrecognized_format_raises(spark):
+    # _media holds non-image bytes; real formats are covered in
+    # tests/test_imagecodec.py
+    with pytest.raises(Exception, match="unrecognized image format"):
         resize_images(_media(spark), 64, 64).collect()
 
 

@@ -5,21 +5,24 @@ detect → EL → triples → distinct) at N and 4N local cores, computes
 throughput scaling efficiency, and writes BENCH.md.
 
 Methodology notes (sandbox realities):
-- this host shows steady background load from other tenants (load avg
-  ~5 with nothing of ours running) → each level runs ``repeats`` times
-  and the BEST (min) wall time is used;
+- this host carries background load from other tenants (load avg has
+  ranged 1-6 across sessions with nothing of ours running) → each level
+  runs ``repeats`` timed trials; the REPORTED efficiency is the MEDIAN
+  over index-paired trials (best-of is also shown), with the full
+  distribution disclosed;
 - the box advertises 32 logical CPUs but only ~16 physical cores
   (pure-python spin test: 8→32 procs scales 3.06×, 16 procs 1.78× over
   8) — beyond 16 threads SMT caps any job's scaling at ~0.76, and each
   pandas-UDF stage doubles effective process count (JVM task + python
-  worker). The honest N→4N pair inside physical capacity is 2→8 cores;
-  the raw numbers for 32 are reported for transparency.
+  worker). The honest N→4N pair inside physical capacity is 1→4 or
+  2→8 cores.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 from datetime import datetime, timezone
@@ -34,51 +37,58 @@ from morph_kgc_spark.pipeline.pages import run_pipeline
 spark = build_spark({cores})
 spark.sparkContext.setLogLevel("ERROR")
 run_pipeline(spark, 30000).count()  # JIT + python-worker warmup
-best = None
+times = []
+n = 0
 for _ in range({repeats}):
     t0 = time.time()
     n = run_pipeline(spark, {pages}).count()
-    dt = time.time() - t0
-    best = dt if best is None or dt < best else best
-print("SCALERESULT", {cores}, n, round(best, 2))
+    times.append(round(time.time() - t0, 2))
+print("SCALERESULT", {cores}, n, ",".join(str(t) for t in times))
 spark.stop()
 """
 
 
-def run(cores: int, pages: int, repeats: int) -> tuple[int, float]:
+def run(cores: int, pages: int, repeats: int) -> tuple[int, list[float]]:
     out = subprocess.run(
         [sys.executable, "-c",
          RUNNER.format(repo=REPO, cores=cores, pages=pages, repeats=repeats)],
-        capture_output=True, text=True, timeout=2400, cwd=REPO,
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
     )
     for ln in out.stdout.splitlines():
         if ln.startswith("SCALERESULT"):
-            _, c, n, dt = ln.split()
-            return int(n), float(dt)
+            _, c, n, ts = ln.split()
+            return int(n), [float(t) for t in ts.split(",")]
     raise RuntimeError(f"no result from cores={cores}: {out.stderr[-2000:]}")
 
 
 def main() -> None:
     pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "3000000"))
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
     # 1 vs 4: the only N→4N pair that stays inside this host's FREE
-    # physical capacity (~16 phys cores minus ~6 cores of tenant noise;
-    # each pandas-UDF stage doubles process count) — see BENCH.md
+    # physical capacity (~16 phys cores minus tenant noise; each
+    # pandas-UDF stage doubles process count) — see module docstring
     n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
     n_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
+    ratio = n_hi / n_lo
     triples, t_lo = run(n_lo, pages, repeats)
     _, t_hi = run(n_hi, pages, repeats)
-    tp_lo, tp_hi = triples / t_lo, triples / t_hi
-    eff = (tp_hi / tp_lo) / (n_hi / n_lo)
+
+    effs = [round((lo / hi) / ratio, 3) for lo, hi in zip(t_lo, t_hi)]
+    med_eff = round(statistics.median(effs), 3)
+    best_eff = round((min(t_lo) / min(t_hi)) / ratio, 3)
+    med_lo, med_hi = statistics.median(t_lo), statistics.median(t_hi)
+
     report = {
         "pages": pages, "triples": triples,
         "cores_low": n_lo, "cores_high": n_hi,
-        "sec_low": t_lo, "sec_high": t_hi,
-        "triples_per_sec_low": round(tp_lo, 1),
-        "triples_per_sec_high": round(tp_hi, 1),
-        "speedup": round(tp_hi / tp_lo, 2),
-        "scaling_efficiency": round(eff, 3),
-        "repeats_best_of": repeats,
+        "sec_low_trials": t_lo, "sec_high_trials": t_hi,
+        "sec_low_median": med_lo, "sec_high_median": med_hi,
+        "triples_per_sec_low": round(triples / med_lo, 1),
+        "triples_per_sec_high": round(triples / med_hi, 1),
+        "per_trial_efficiency": effs,
+        "scaling_efficiency_median": med_eff,
+        "scaling_efficiency_best": best_eff,
+        "repeats": repeats,
         "timestamp": datetime.now(timezone.utc).isoformat(),
     }
     print(json.dumps(report))
@@ -90,18 +100,23 @@ text extraction → token-aligned mention detection → broadcast-dict
 candidate gen → pandas-UDF EL scoring → template expansion → distinct),
 {pages:,} pages → {triples:,} triples. Sandbox proxy for N vs 4N
 executors per driver instruction: `local[{n_lo}]` vs `local[{n_hi}]`,
-best of {repeats} runs each (host has noisy background load ~5 cores
-and only ~16 physical cores behind 32 SMT threads — see
-tools/scaling_bench.py docstring; the 2→8 pair stays inside physical
-capacity including the per-task python workers).
+{repeats} timed trials per level after warmup (host has shifting
+background tenant load and only ~16 physical cores behind 32 SMT
+threads — see tools/scaling_bench.py docstring; the {n_lo}→{n_hi} pair
+stays inside free physical capacity including per-task python workers).
 
-| cores | wall (s) | throughput (triples/sec) |
-|---|---|---|
-| {n_lo} | {t_lo} | {report['triples_per_sec_low']} |
-| {n_hi} | {t_hi} | {report['triples_per_sec_high']} |
+| cores | wall times (s) | median (s) | throughput (triples/sec) |
+|---|---|---|---|
+| {n_lo} | {", ".join(map(str, t_lo))} | {med_lo} | {report['triples_per_sec_low']} |
+| {n_hi} | {", ".join(map(str, t_hi))} | {med_hi} | {report['triples_per_sec_high']} |
 
-**Speedup {n_lo}→{n_hi} cores: {report['speedup']}× / {n_hi // n_lo}× ideal →
-scaling efficiency {report['scaling_efficiency']}.**
+**Scaling efficiency {n_lo}→{n_hi} cores: MEDIAN {med_eff}** over
+index-paired trials {effs} (best-pair {best_eff}). Round 1 reported a
+best-of-7 0.836 with median ≈0.70 under heavy tenant noise; round 2
+moved the always-dirty URL percent-encode from an Arrow UDF to a pure
+JVM url_encode expression chain (functions/encoding.py), removing the
+largest python-side cost from the hot path, and re-measured at low
+ambient load.
 
 Why this holds at cluster scale: every stage is either per-row
 (generation, extraction, matching — zero shuffle) or a single
