@@ -416,6 +416,27 @@ def q_dedup_embedding_cosine(spark, sf_dir):
                                  "vec_id", "embedding", "label", threshold=0.3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (min-label propagation)
+    over banded SimHash pairs — the keep-one-per-cluster dedup policy."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(docs, "doc_id", "text", max_hamming=6)
+    return D.dup_clusters(docs.select("doc_id"), pairs, "doc_id")
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII masking over a synthesized dirty column (emails + digit runs)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@ex-mail.org or +1 555 0100 "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return T.scrub_pii(docs, "doc_id", "text")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -589,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_clusters": q_dedup_clusters,
+        "text_pii_scrub": q_text_pii_scrub,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
@@ -627,6 +650,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": oracles.dedup_simhash_pairs(),
         "dedup_ngram_jaccard": oracles.dedup_ngram_jaccard_topk(),
         "dedup_embedding_cosine": oracles.dedup_embedding_cosine(0.3),
+        "dedup_clusters": oracles.dedup_clusters(),
+        "text_pii_scrub": oracles.text_pii_scrub(),
         "ann_cosine_topk": oracles.ann_cosine_topk(),
         "text_token_stats": oracles.text_token_stats(),
         "text_language_id": oracles.text_language_id(),

@@ -272,6 +272,66 @@ def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
     return jac.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(k)
 
 
+def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
+                 max_iterations: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id).
+
+    ``cluster_id`` is the minimum member id of each component — the
+    canonical survivor for a keep-one-per-cluster dedup policy.
+    Min-label propagation to fixpoint: each round every node takes the
+    min of its own label and its neighbors' labels (one equi-join + one
+    groupBy per round), converging in O(component diameter) rounds —
+    near-dup clusters are dense and shallow, so 2-4 rounds in practice.
+    Each round ends in an EAGER ``localCheckpoint``: iterative joins
+    otherwise chain the entire lineage, and the logical plan grows until
+    plan processing itself blows up — the standard Spark iterative-
+    algorithm discipline (GraphX/Pregel does the same). The driver only
+    ever sees a changed-row COUNT.
+
+    At 10^10 nodes this is the standard iterative CC shape (cf.
+    large-star/small-star); singletons pass through unjoined.
+    """
+    labels = ids.select(F.col(id_col).alias("node"),
+                        F.col(id_col).alias("lbl")).localCheckpoint()
+    # undirected: propagate both ways
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst").agg(F.min("lbl").alias("nlbl"))
+        )
+        merged = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["dst"],
+                        "left")
+            .select(F.col("node"), F.col("lbl").alias("old_lbl"),
+                    F.least(F.col("lbl"), F.coalesce(F.col("nlbl"),
+                                                     F.col("lbl"))).alias("lbl"))
+        )
+        # pointer doubling: follow the label's own label (labels are
+        # monotone decreasing, so lbl[lbl[x]] <= lbl[x]) — propagation
+        # distance doubles per round → O(log diameter) rounds
+        hop = merged.select(F.col("node").alias("h_node"),
+                            F.col("lbl").alias("h_lbl"))
+        new_labels = (
+            merged.join(hop, merged["lbl"] == hop["h_node"], "left")
+            .select(F.col("node"), F.col("old_lbl"),
+                    F.least(F.col("lbl"), F.coalesce(F.col("h_lbl"),
+                                                     F.col("lbl"))).alias("lbl"))
+            .localCheckpoint()  # eager: truncates lineage, caches blocks
+        )
+        changed = new_labels.where(F.col("lbl") != F.col("old_lbl")) \
+                            .limit(1).count()
+        labels = new_labels.select("node", "lbl")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("lbl").alias("cluster_id"))
+
+
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                         block_col: str, threshold: float = 0.8,
                         max_block_size: int | None = 100_000) -> DataFrame:

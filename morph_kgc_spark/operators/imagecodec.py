@@ -1,4 +1,4 @@
-"""Pure-stdlib image codecs for the multimodal operators.
+"""Pure-stdlib media codecs (image + WAV audio) for multimodal operators.
 
 This container has no PIL/opencv, but PNG is just zlib (stdlib) plus
 per-scanline unfiltering, and BMP/PPM are plain structs — so the decode
@@ -204,3 +204,65 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * h) // height
     xs = (np.arange(width) * w) // width
     return arr[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# WAV audio (RIFF) — header parse + PCM frame access, stdlib-only
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(content: bytes) -> tuple[dict, np.ndarray]:
+    """Parse a RIFF/WAVE file → (meta, samples[frames, channels] int).
+
+    Supports PCM (format 1) at 8/16/32-bit depth — the shapes real
+    ingest pipelines normalize to before feature extraction. Returns
+    sample values as int32 regardless of depth (8-bit unsigned is
+    re-centered to signed, per the WAV spec).
+    """
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = \
+                struct.unpack_from("<HHIIHH", body, 0)
+            fmt = (audio_fmt, channels, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunks")
+    audio_fmt, channels, rate, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"only PCM WAV supported (format {audio_fmt})")
+    dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}.get(bits)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    raw = np.frombuffer(data, dtype=dtype)
+    n_frames = len(raw) // channels
+    samples = raw[: n_frames * channels].reshape(n_frames, channels).astype(np.int32)
+    if bits == 8:
+        samples -= 128  # 8-bit WAV is unsigned
+    meta = {"channels": channels, "sample_rate": rate, "bits": bits,
+            "n_frames": n_frames,
+            "duration_s": round(n_frames / rate, 6) if rate else None}
+    return meta, samples
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal 16-bit PCM WAV writer (frames × channels int array)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body

@@ -147,3 +147,42 @@ def sample_video_frames(media: DataFrame, every_n_seconds: int = 10) -> DataFram
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, out_schema)
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("bits", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("content_hash", StringType()),
+])
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """REAL WAV (PCM RIFF) header parse → per-clip metadata; formats
+    needing external codecs (mp3/ogg) yield null fields. mapInPandas
+    over the binary column, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from morph_kgc_spark.operators.imagecodec import decode_wav
+
+        for pdf in it:
+            rows = {k.name: [] for k in AUDIO_META_SCHEMA.fields}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    continue
+                try:
+                    meta, _ = decode_wav(bytes(c))
+                except ValueError:
+                    meta = {"channels": None, "sample_rate": None,
+                            "bits": None, "n_frames": None}
+                rows["media_id"].append(mid)
+                rows["channels"].append(meta["channels"])
+                rows["sample_rate"].append(meta["sample_rate"])
+                rows["bits"].append(meta["bits"])
+                rows["n_frames"].append(meta["n_frames"])
+                rows["content_hash"].append(hashlib.md5(bytes(c)).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, AUDIO_META_SCHEMA)

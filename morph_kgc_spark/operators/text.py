@@ -126,3 +126,35 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda acc, x: (acc + x) % F.lit(P31),
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# PII patterns shared with the DuckDB oracle — restricted to syntax that
+# means the same thing in Java regex and RE2 (no backrefs, no lookaround,
+# explicit classes only)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_DIGITS_RE = r"\+?[0-9][0-9 ()+.-]{7,}[0-9]"
+PII_EMAIL_TOKEN = "<EMAIL>"
+PII_NUMBER_TOKEN = "<NUMBER>"
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, clean_text, n_emails, n_numbers) — PII masking for
+    training-data hygiene, zero shuffle, pure codegen regex.
+
+    Emails are masked first (their local parts often contain digits that
+    the number pattern would otherwise split), then long digit runs
+    (phones / card-ish sequences). Counts are emitted so a pipeline can
+    route high-PII documents to quarantine instead of training.
+    """
+    text = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0)))
+    no_email = F.regexp_replace(text, PII_EMAIL_RE, PII_EMAIL_TOKEN)
+    n_numbers = F.size(F.regexp_extract_all(no_email,
+                                            F.lit(PII_LONG_DIGITS_RE), F.lit(0)))
+    clean = F.regexp_replace(no_email, PII_LONG_DIGITS_RE, PII_NUMBER_TOKEN)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_numbers.alias("n_numbers"),
+    )

@@ -324,6 +324,68 @@ SELECT * FROM pairs WHERE cos_sim >= {threshold}
 """
 
 
+def dedup_clusters(max_hamming: int = 6, bits: int = 32) -> str:
+    """Connected components over SimHash near-dup pairs via a recursive
+    CTE: every doc labeled with the min doc_id reachable through dup
+    edges (singletons keep their own id). Twin of operators/dedup.
+    dup_clusters' min-label propagation fixpoint."""
+    n_bands = max_hamming + 1
+    base = dedup_simhash(bits)
+    width = bits // n_bands
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * width}) & {(1 << width) - 1} AS val FROM sims"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH RECURSIVE
+sims AS ({base}),
+bands AS (
+{band_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+  WHERE a.doc_id < b.doc_id
+    AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def text_pii_scrub() -> str:
+    """PII masking twin: emails first, then long digit runs. The dirty
+    column is synthesized identically on both sides."""
+    from morph_kgc_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_EMAIL_TOKEN,
+        PII_LONG_DIGITS_RE,
+        PII_NUMBER_TOKEN,
+    )
+
+    dirty = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+             "'@ex-mail.org or +1 555 0100 ' || CAST(doc_id AS VARCHAR)")
+    no_email = f"regexp_replace({dirty}, '{PII_EMAIL_RE}', '{PII_EMAIL_TOKEN}', 'g')"
+    return f"""
+SELECT doc_id,
+       regexp_replace({no_email}, '{PII_LONG_DIGITS_RE}',
+                      '{PII_NUMBER_TOKEN}', 'g') AS clean_text,
+       len(regexp_extract_all({dirty}, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all({no_email}, '{PII_LONG_DIGITS_RE}')) AS n_numbers
+FROM documents
+"""
+
+
 def kg_named_graphs() -> str:
     """Graph maps → N-Quads: customer triples land in a per-mktsegment
     named graph (4-column result)."""

@@ -167,3 +167,38 @@ def test_resize_images_end_to_end(spark):
     assert (out.width, out.height) == (6, 5)
     got = decode_png(bytes(out.content))
     assert np.array_equal(got, resize_nearest(arr, 6, 5))
+
+
+def test_wav_roundtrip_and_metadata(spark):
+    from morph_kgc_spark.operators.imagecodec import decode_wav, encode_wav
+    from morph_kgc_spark.operators.multimodal import audio_metadata
+
+    t = np.arange(4000)
+    samples = (np.sin(t / 20.0) * 12000).astype(np.int32)
+    stereo = np.stack([samples, -samples], axis=1)
+    wav = encode_wav(stereo, 16000)
+    meta, back = decode_wav(wav)
+    assert meta == {"channels": 2, "sample_rate": 16000, "bits": 16,
+                    "n_frames": 4000, "duration_s": 0.25}
+    assert np.array_equal(back, stereo)
+
+    media = spark.createDataFrame(
+        [("w1", "audio", bytearray(wav), "audio/wav"),
+         ("bad", "audio", bytearray(b"not a wav"), "audio/mpeg")],
+        "media_id string, kind string, content binary, mime string")
+    rows = {r.media_id: r for r in audio_metadata(media).collect()}
+    assert rows["w1"].sample_rate == 16000 and rows["w1"].n_frames == 4000
+    assert rows["bad"].sample_rate is None
+
+
+def test_wav_8bit_unsigned_recentered():
+    from morph_kgc_spark.operators.imagecodec import decode_wav
+    import struct as st
+
+    data = bytes([0, 128, 255])  # min, mid, max unsigned 8-bit
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data + b"\x00")
+    wav = b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+    meta, samples = decode_wav(wav)
+    assert meta["bits"] == 8 and samples[:, 0].tolist() == [-128, 0, 127]

@@ -124,3 +124,48 @@ def test_detect_mentions_large_dict_not_in_plan(spark):
     assert key(small) == key(large)
     small_plan = small._jdf.queryExecution().optimizedPlan().toString()
     assert "Entity Alias 200" in small_plan  # InSet regime really differs
+
+
+def test_dup_clusters_components(spark):
+    """Min-label propagation: chains, triangles, singletons."""
+    from morph_kgc_spark.operators.dedup import dup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    # chain 0-1-2-3, triangle 4-5-6 (+edge 6-4), pair 7-8, singleton 9
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6), (7, 8)],
+        ["id_a", "id_b"])
+    out = {r.doc_id: r.cluster_id
+           for r in dup_clusters(ids, pairs, "doc_id").collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 9}
+
+
+def test_dup_clusters_long_chain_pointer_doubling(spark):
+    """A 40-node path converges well inside max_iterations thanks to
+    pointer doubling (plain propagation would need ~40 rounds)."""
+    from morph_kgc_spark.operators.dedup import dup_clusters
+
+    n = 40
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  ["id_a", "id_b"])
+    out = dup_clusters(ids, pairs, "doc_id", max_iterations=10).collect()
+    assert {r.cluster_id for r in out} == {0}
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from morph_kgc_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame([
+        (1, "mail me at jo.doe+x@corp.example.org thanks"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "clean text only"),
+        (4, "two a@b.io c.d@e.fr and 12345678901"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in scrub_pii(df, "doc_id", "text").collect()}
+    assert out[1].clean_text == "mail me at <EMAIL> thanks"
+    assert (out[1].n_emails, out[1].n_numbers) == (1, 0)
+    assert out[2].clean_text == "call <NUMBER> now"
+    assert (out[2].n_emails, out[2].n_numbers) == (0, 1)
+    assert out[3].clean_text == "clean text only"
+    assert out[4].n_emails == 2 and out[4].n_numbers == 1

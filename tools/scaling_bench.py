@@ -36,7 +36,9 @@ from bench import build_spark
 from morph_kgc_spark.pipeline.pages import run_pipeline
 spark = build_spark({cores})
 spark.sparkContext.setLogLevel("ERROR")
-run_pipeline(spark, 30000).count()  # JIT + python-worker warmup
+# full-size warmup, discarded: a small warmup leaves whole-stage codegen
+# and the GC heap cold and the first timed trial runs ~3x slow
+run_pipeline(spark, {pages}).count()
 times = []
 n = 0
 for _ in range({repeats}):
