@@ -184,7 +184,7 @@ def q_kg_lineitem_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_ntriples_escaping(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = default_registry()
     dirty = _read(spark, sf_dir, "customer").withColumn(
-        "dirty", F.concat(F.col("c_mktsegment"), F.lit('\\"q"\n\t\''))
+        "dirty", F.concat(F.col("c_mktsegment"), F.lit('\\"q"\n\t\'\b\f\r'))
     )
     reg.register("customer_dirty", dirty)
     rule = Rule(
@@ -517,7 +517,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg.register("orders_typed", _read(spark, sf_dir, "orders").withColumn(
         "o_price", F.col("o_totalprice").cast("decimal(12,2)")))
     reg.register("customer_dirty", _read(spark, sf_dir, "customer").withColumn(
-        "dirty", F.concat(F.col("c_mktsegment"), F.lit('\\"q"\n\t\''))))
+        "dirty", F.concat(F.col("c_mktsegment"), F.lit('\\"q"\n\t\'\b\f\r'))))
 
     mk_type = lambda src, key: Rule(  # noqa: E731
         source=_pq(sf_dir, src),

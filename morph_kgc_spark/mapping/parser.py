@@ -472,11 +472,8 @@ def _resolve_quoted(raw: dict, tms: list[Term], is_non_asserted) -> list[M.Rule]
             variants = [rule]
             if q_subj is not None:
                 q_tm, q_jcs = q_subj
-                if q_jcs:
-                    raise NotImplementedError(
-                        "joinCondition on a quoted subject map is not "
-                        "supported yet (object-position quoted joins are)")
-                variants = [v.but(quoted_subject=q)
+                variants = [v.but(quoted_subject=q,
+                                  subject_join_conditions=q_jcs)
                             for v in variants
                             for q in resolve(q_tm, stack + (tm,))]
             if q_obj is not None:

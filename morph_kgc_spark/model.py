@@ -166,6 +166,9 @@ class Rule:
     # RML-star: quoted triples maps (subject/object may be full sub-rules)
     quoted_subject: Optional["Rule"] = None
     quoted_object: Optional["Rule"] = None
+    # join for a quoted SUBJECT map (object-side joins use join_conditions;
+    # reference keeps them separate too: subject_join_conditions column)
+    subject_join_conditions: tuple[JoinCondition, ...] = ()
 
     # RML-CC gather (object position)
     gather: Optional[GatherSpec] = None
@@ -189,17 +192,33 @@ class Rule:
                 refs.extend(tm.references)
         for jc in self.join_conditions:
             refs.append(jc.child)
+        for jc in self.subject_join_conditions:
+            refs.append(jc.child)
         if self.gather is not None:
             refs.extend(self.gather.references)
             if self.gather.head is not None:
                 refs.extend(self.gather.head.references)
-        if self.quoted_subject is not None:
+        if self.quoted_subject is not None and not self.subject_join_conditions:
+            # shared-source quoted subject reads from child rows; with a
+            # join its refs come from the joined-in parent side
             refs.extend(self.quoted_subject.references)
-        if self.quoted_object is not None and self.parent_source is None:
-            # shared-source quoted map: quoted refs read from child rows;
+        if self.quoted_object is not None and self.parent_source is None \
+                and not self.join_conditions:
+            # shared-source quoted object: quoted refs read from child rows;
             # with a join the quoted refs come from the parent side
             refs.extend(self.quoted_object.references)
         # dedup preserving order
+        seen: set[str] = set()
+        return [r for r in refs if not (r in seen or seen.add(r))]
+
+    @property
+    def subject_parent_references(self) -> list[str]:
+        """Columns read from the quoted-subject join's parent side."""
+        refs: list[str] = []
+        if self.quoted_subject is not None and self.subject_join_conditions:
+            refs.extend(self.quoted_subject.references)
+            for jc in self.subject_join_conditions:
+                refs.append(jc.parent)
         seen: set[str] = set()
         return [r for r in refs if not (r in seen or seen.add(r))]
 

@@ -152,15 +152,22 @@ FROM lineitem JOIN orders ON CAST(l_orderkey AS VARCHAR) = CAST(o_orderkey AS VA
 
 def kg_ntriples_escaping() -> str:
     """Literal escaping over synthesized dirty strings (backslash, quote,
-    newline, tab) — replicates the reference's escape chain order."""
+    newline, tab, apostrophe, backspace, formfeed, carriage return) —
+    replicates the reference's full escape chain in its exact order
+    (materializer.py:144)."""
     backslash = "chr(92)"
     newline = "chr(10)"
     tab = "chr(9)"
-    dirty = f"""(c_mktsegment || {backslash} || '"q"' || {newline} || {tab} || '''')"""
+    bs, ff, cr = "chr(8)", "chr(12)", "chr(13)"
+    dirty = (f"""(c_mktsegment || {backslash} || '"q"' || {newline} || {tab}"""
+             f""" || '''' || {bs} || {ff} || {cr})""")
     esc = dirty
     esc = f"replace({esc}, {backslash}, {backslash}||{backslash})"
     esc = f"replace({esc}, {newline}, {backslash}||'n')"
     esc = f"replace({esc}, {tab}, {backslash}||'t')"
+    esc = f"replace({esc}, {bs}, {backslash}||'b')"
+    esc = f"replace({esc}, {ff}, {backslash}||'f')"
+    esc = f"replace({esc}, {cr}, {backslash}||'r')"
     esc = f"""replace({esc}, '"', {backslash}||'"')"""
     esc = f"replace({esc}, '''', {backslash}||'''')"
     return f"""

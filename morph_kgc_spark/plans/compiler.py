@@ -241,9 +241,25 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
         base = join_child_parent(base, parent, rule.join_conditions)
         col_prefix = "parent_"
 
+    # quoted SUBJECT map with its own join condition: the quoted rule
+    # materializes over ITS OWN source, joined in on the subject join
+    # (reference materializer.py:929-944)
+    subj_prefix = ""
+    if rule.quoted_subject is not None and rule.subject_join_conditions:
+        if col_prefix:
+            raise NotImplementedError(
+                "a rule with BOTH a quoted-subject join and an object-side "
+                "join is not supported yet")
+        s_parent = prepare_source(
+            load_source(spark, rule.quoted_subject.source),
+            rule.subject_parent_references, na_values=na_values)
+        base = join_child_parent(base, s_parent,
+                                 rule.subject_join_conditions)
+        subj_prefix = "parent_"
+
     # --- term columns ------------------------------------------------------
     if rule.quoted_subject is not None:
-        subj = _quoted_triple_col(rule.quoted_subject)
+        subj = _quoted_triple_col(rule.quoted_subject, col_prefix=subj_prefix)
     else:
         subj = compile_term(rule.subject)
 

@@ -149,25 +149,40 @@ def test_quoted_object_with_join_condition(spark, tmp_path):
     }
 
 
-def test_quoted_subject_join_condition_rejected(tmp_path):
-    csv = _csv(tmp_path, "d.csv", "c1,c2\nA,B\n")
+def test_quoted_subject_with_join_condition(spark, tmp_path):
+    """TC002b shape: quoted SUBJECT map with a join condition — the
+    quoted rule materializes over its own source, joined on the subject
+    join (reference materializer.py:929-944)."""
+    child = _csv(tmp_path, "child.csv", "k,note\n1,hot\n2,cold\n3,warm\n")
+    parent = _csv(tmp_path, "parent.csv", "pk,status\n1,open\n2,closed\n")
     ttl = PREFIXES + f"""
-:firstTM a rml:NonAssertedTriplesMap ;
-  rml:logicalSource [ rml:source "{csv}" ] ;
-  rml:subjectMap [ rml:template "{EX}{{c1}}" ] ;
+:statusTM a rml:NonAssertedTriplesMap ;
+  rml:logicalSource [ rml:source "{parent}" ] ;
+  rml:subjectMap [ rml:template "{EX}case/{{pk}}" ] ;
   rml:predicateObjectMap [
-    rml:predicate ex:p ; rml:objectMap [ rml:reference "c2" ] ] .
+    rml:predicate ex:status ;
+    rml:objectMap [ rml:reference "status" ] ] .
 
-:secondTM a rml:AssertedTriplesMap ;
-  rml:logicalSource [ rml:source "{csv}" ] ;
+:annotTM a rml:AssertedTriplesMap ;
+  rml:logicalSource [ rml:source "{child}" ] ;
   rml:subjectMap [
-    rml:quotedTriplesMap :firstTM ;
-    rml:joinCondition [ rml:child "c1" ; rml:parent "c1" ] ] ;
+    rml:quotedTriplesMap :statusTM ;
+    rml:joinCondition [ rml:child "k" ; rml:parent "pk" ] ] ;
   rml:predicateObjectMap [
-    rml:predicate ex:q ; rml:objectMap [ rml:reference "c2" ] ] .
+    rml:predicate ex:note ;
+    rml:objectMap [ rml:reference "note" ] ] .
 """
-    with pytest.raises(NotImplementedError, match="quoted subject"):
-        parse_mapping(ttl)
+    rules = parse_mapping(ttl)
+    (rule,) = rules
+    assert rule.quoted_subject is not None
+    assert rule.subject_join_conditions == (M.JoinCondition("k", "pk"),)
+
+    out = {(r.subject, r.predicate, r.object)
+           for r in materialize(spark, ttl).collect()}
+    assert out == {
+        (f'<< <{EX}case/1> <{EX}status> "open" >>', f"<{EX}note>", '"hot"'),
+        (f'<< <{EX}case/2> <{EX}status> "closed" >>', f"<{EX}note>", '"cold"'),
+    }  # k=3 has no parent row → inner-join drop
 
 
 def test_cyclic_quoting_rejected(tmp_path):
