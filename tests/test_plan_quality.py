@@ -70,3 +70,50 @@ def test_pipeline_has_no_driver_collect_in_hot_path(spark):
     plan = _executed_plan(m)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_worker_in_kg_plans(spark):
+    """Round 2 moved percent-encoding JVM-side: NO python eval node may
+    appear anywhere in a KG materialization plan."""
+    for q in (entrymod.q_kg_customer_triples, entrymod.q_kg_rdf_star_ttl,
+              entrymod.q_kg_yarrrml_doc):
+        plan = _executed_plan(q(spark, SF))
+        assert "ArrowEvalPython" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+
+
+def test_url_encode_expression_present(spark):
+    """Templates with string refs use the native url_encode chain."""
+    plan = _executed_plan(entrymod.q_kg_customer_triples(spark, SF))
+    assert "UrlCodec.encode" in plan or "url_encode" in plan
+
+
+def test_yarrrml_join_broadcasts_small_parent(spark):
+    df = entrymod.q_kg_yarrrml_doc(spark, SF)
+    df.count()  # let AQE finalize
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_xml_scan_is_distributed(spark, tmp_path):
+    """The XPath iterator path uses the native XML FileScan (rowTag),
+    not a driver-side parse."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "r.xml")
+    with open(p, "w") as f:
+        f.write("<rs><r id='1'><v>a</v></r><r id='2'><v>b</v></r></rs>")
+    df = xml_source(spark, p, iterator="/rs/r")
+    plan = _executed_plan(df)
+    assert "FileScan xml" in plan
+
+
+def test_ngram_adaptive_plan_no_python(spark):
+    """The hardened ngram plan stays JVM-side end to end."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from morph_kgc_spark.operators.dedup import ngram_jaccard_topk
+
+    plan = _executed_plan(ngram_jaccard_topk(docs, "doc_id", "text"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
