@@ -17,6 +17,7 @@ handled by dedicated modules once their vocab appears.
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 from morph_kgc_spark import model as M
@@ -265,10 +266,25 @@ def _shortcut_or_map(g: Graph, parent: Term, map_names: list[str],
     return out
 
 
+_LANG_TAG_RE = re.compile(r"^[A-Za-z]{1,3}(-[A-Za-z0-9]{1,8})*$")
+
+
+def _validate_language_tag(tag: str) -> str:
+    """IANA language tags have a 1-3 character primary subtag (reference
+    validate_mappings' rule, mapping_parser.py:735-746; W3C RMLTC0015b
+    expects 'english' to be rejected)."""
+    if not _LANG_TAG_RE.match(tag):
+        raise ValueError(
+            f"invalid language tag {tag!r}: primary subtag must be 1-3 "
+            "characters (IANA Language Subtag Registry)")
+    return tag
+
+
 def _lang_datatype(g: Graph, om: Term) -> tuple[Optional[M.TermMap], Optional[M.TermMap]]:
     lang = _first(g, om, "language")
     if lang is not None:
-        return None, M.TermMap(M.CONSTANT, lang[1], M.LITERAL)
+        return None, M.TermMap(M.CONSTANT, _validate_language_tag(lang[1]),
+                               M.LITERAL)
     lang_map = _first(g, om, "languageMap")
     if lang_map is not None:
         return None, _term_map(g, lang_map, M.LITERAL, "language")
@@ -356,6 +372,12 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
                                          M.IRI, "subject")
             if not subj_maps:
                 raise ValueError(f"triples map {tm} without subject map")
+            if len(subj_maps) > 1:
+                # R2RML: exactly one subject map per triples map (W3C
+                # RMLTC0012d expects an error)
+                raise ValueError(
+                    f"triples map {tm} has {len(subj_maps)} subject maps; "
+                    "exactly one is allowed")
             subject = subj_maps[0]
 
         # subject-level graph maps apply to every POM (mapping_parser.py:179-199)
@@ -374,11 +396,14 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
             graphs = combined or [None]
             for graph in graphs:
                 if graph is not None and graph.kind == M.CONSTANT and \
-                        graph.value == RR + "defaultGraph":
+                        graph.value in (RR + "defaultGraph",
+                                        RML_L + "defaultGraph",
+                                        RML_N + "defaultGraph"):
                     graph = None
                 raw[tm].append((M.Rule(
                     source=source, subject=subject, predicate=predicate,
-                    graph=graph, triples_map_id=tm_index[tm], **kw,
+                    graph=graph, triples_map_id=tm_index[tm],
+                    base_iri=g.base, **kw,
                 ), quoted_subj, quoted_obj))
 
         # rr:class → rdf:type POM (mapping_parser.py:160-176)

@@ -44,7 +44,7 @@ _TOKEN_RE = re.compile(
   | (?P<lang>@[a-zA-Z][a-zA-Z0-9-]*)
   | (?P<dtype_sep>\^\^)
   | (?P<bnode>_:[A-Za-z0-9_.-]+)
-  | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.%-]*(?:[\w%-]|(?<=[\w%-])\.)*)?
+  | (?P<pname>[A-Za-z_][\w-]*(?:\.[\w-]+)*)?:(?P<local>(?:[\w%-]+(?:\.+[\w%-]+)*)?)
   | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<kw_a>\ba\b)
   | (?P<bool>\btrue\b|\bfalse\b)
@@ -170,6 +170,10 @@ class TurtleParser:
             if nxt and nxt[1] == ";":
                 tk.next()
                 nxt = tk.peek()
+                # repeated ';' are legal Turtle (e.g. `ex:p ex:o ; ;`)
+                while nxt and nxt[1] == ";":
+                    tk.next()
+                    nxt = tk.peek()
                 # allow trailing ';' before '.' or ']'
                 if nxt and nxt[1] in (".", "]"):
                     return
@@ -277,15 +281,18 @@ def parse_turtle(text: str) -> list[Triple]:
 class Graph:
     """Tiny triple store with the few lookups the mapping compiler needs."""
 
-    def __init__(self, triples: list[Triple]):
+    def __init__(self, triples: list[Triple], base: str = ""):
         self.triples = triples
+        self.base = base  # document @base — needed for relative-IRI data
         self._spo: dict[Term, dict[str, list[Term]]] = {}
         for s, p, o in triples:
             self._spo.setdefault(s, {}).setdefault(p[1], []).append(o)
 
     @classmethod
     def parse(cls, text: str) -> "Graph":
-        return cls(parse_turtle(text))
+        parser = TurtleParser()
+        triples = parser.parse(text)
+        return cls(triples, base=parser.base)
 
     def subjects(self, pred: str, obj: Term | None = None) -> Iterator[Term]:
         for s, props in self._spo.items():

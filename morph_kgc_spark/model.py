@@ -175,6 +175,9 @@ class Rule:
 
     triples_map_id: str = ""
     mapping_partition: str = ""
+    # document @base: relative IRI-position data values resolve against it
+    # at materialization time (R2RML term-generation rules; row-dependent)
+    base_iri: str = ""
 
     def but(self, **kw) -> "Rule":
         return _dc_replace(self, **kw)
@@ -194,6 +197,13 @@ class Rule:
             refs.append(jc.child)
         for jc in self.subject_join_conditions:
             refs.append(jc.child)
+        if self.parent_subject is not None and self.parent_source is None:
+            # self-join-eliminated referencing map: the parent subject
+            # map evaluates over the CHILD's own rows, so its references
+            # are child references (found via RMLTC0008b, where the
+            # parent subject template uses a column the child subject
+            # does not)
+            refs.extend(self.parent_subject.references)
         if self.gather is not None:
             refs.extend(self.gather.references)
             if self.gather.head is not None:

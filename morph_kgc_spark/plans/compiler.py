@@ -50,15 +50,27 @@ DEFAULT_NA_VALUES = ("", "nan")
 def prepare_source(df: DataFrame, references: Iterable[str],
                    na_values: Iterable[str] = DEFAULT_NA_VALUES,
                    dedup: bool = True,
-                   drop_null_subset: Iterable[str] | None = None) -> DataFrame:
+                   drop_null_subset: Iterable[str] | None = None,
+                   fill_missing: bool = False) -> DataFrame:
     """Project/prune + str-coerce + null-drop + dedup.
 
     Reference: materializer.py:37-55 (_preprocess_data): ``data.map(str)``,
     ``dropna(how='any', subset=refs)``, ``drop_duplicates()``.
     The string coercion matches pandas ``str()`` for int/double/timestamp
     because Spark's CAST(x AS STRING) uses the same lexical forms.
+
+    ``fill_missing`` (hierarchical sources): references absent from the
+    document become all-null columns — and are then dropped by the null
+    filter, yielding an empty result instead of an analysis error
+    (reference data_file.py:246-248; tabular sources keep erroring on
+    unknown columns, matching RMLTC0002c's expected failure).
     """
     refs = list(references)
+    if fill_missing:
+        existing = set(df.columns)
+        for r in refs:
+            if r not in existing:
+                df = df.withColumn(r, F.lit(None).cast("string"))
     null_subset = list(drop_null_subset) if drop_null_subset is not None else refs
     # plain IsNotNull first: it is implied by the full null-semantics
     # filter below but, unlike a CASE over a cast, it pushes down to the
@@ -95,14 +107,33 @@ def _template_parts(template: str) -> tuple[list[str], list[str]]:
     return parts, refs
 
 
+# RFC-3986 scheme: a term matching this is an absolute IRI and is never
+# resolved against the document base
+_ABSOLUTE_IRI_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
+# characters that cannot appear in an IRI (space/controls and RFC-3987
+# excluded delimiters) — rows producing such IRIs are data errors and are
+# omitted per the R2RML term-generation rules (W3C test cases RMLTC0019b+)
+_INVALID_IRI_CHARS_RE = '[\\x00-\\x20<>"{}|\\\\^`]'
+
+
+def _resolve_base(term: Column, base_iri: str) -> Column:
+    """Row-level base-IRI resolution (R2RML: relative IRIs resolve
+    against the base; whether a value is relative depends on the row —
+    RMLTC0019a has absolute and relative values in one column)."""
+    return F.when(term.rlike(_ABSOLUTE_IRI_RE), term) \
+            .otherwise(F.concat(F.lit(base_iri), term))
+
+
 def compile_term(tm: M.TermMap, *, datatype: Optional[str] = None,
-                 col_prefix: str = "", wrap: bool = True) -> Column:
+                 col_prefix: str = "", wrap: bool = True,
+                 base_iri: str = "") -> Column:
     """Compile a term map to a Column producing the N-Triples lexical form.
 
     Reference: materializer.py:106-163 (_materialize_template) — constants
     and literal template parts are emitted verbatim; only *reference values*
     are percent-encoded (IRI position) or natural-mapped + escaped (literal
-    position); then the whole term is termtype-wrapped.
+    position); then the whole term is termtype-wrapped. ``base_iri``
+    (document-driven mappings only) resolves relative IRI results.
     """
     if tm.kind == M.CONSTANT:
         # driver-side constant folding (materializer.py:919-923)
@@ -122,6 +153,8 @@ def compile_term(tm: M.TermMap, *, datatype: Optional[str] = None,
             # "IRI values are assumed correct and NOT percent encoded",
             # only trimmed (reference: materializer.py:183-186)
             col = F.trim(col)
+            if base_iri:
+                col = _resolve_base(col, base_iri)
         elif tm.termtype == M.LITERAL:
             col = natural_mapping_col(col, datatype)
             col = ntriples_escape_col(col)
@@ -145,6 +178,8 @@ def compile_term(tm: M.TermMap, *, datatype: Optional[str] = None,
         pieces.append(F.lit(parts[-1]))
 
     term = pieces[0] if len(pieces) == 1 else F.concat(*pieces)
+    if tm.termtype == M.IRI and base_iri:
+        term = _resolve_base(term, base_iri)
     return _wrap_col(term, tm.termtype) if wrap else term
 
 
@@ -200,7 +235,8 @@ def _object_column(rule: M.Rule, col_prefix: str = "") -> Column:
     datatype_iri = (rule.datatype.value
                     if rule.datatype is not None and rule.datatype.kind == M.CONSTANT
                     else None)
-    obj = compile_term(rule.object, datatype=datatype_iri, col_prefix=col_prefix)
+    obj = compile_term(rule.object, datatype=datatype_iri,
+                       col_prefix=col_prefix, base_iri=rule.base_iri)
     if rule.language is not None:
         lang = compile_term(rule.language, wrap=False)
         obj = F.concat(obj, F.lit("@"), lang)
@@ -232,12 +268,15 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
         base = spark.range(1)
     else:
         base = prepare_source(load_source(spark, rule.source), refs,
-                              na_values=na_values)
+                              na_values=na_values,
+                              fill_missing=rule.source.kind in ("json", "xml"))
 
     col_prefix = ""
     if rule.parent_source is not None and rule.join_conditions:
-        parent = prepare_source(load_source(spark, rule.parent_source),
-                                rule.parent_references, na_values=na_values)
+        parent = prepare_source(
+            load_source(spark, rule.parent_source),
+            rule.parent_references, na_values=na_values,
+            fill_missing=rule.parent_source.kind in ("json", "xml"))
         base = join_child_parent(base, parent, rule.join_conditions)
         col_prefix = "parent_"
 
@@ -257,13 +296,31 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
                                  rule.subject_join_conditions)
         subj_prefix = "parent_"
 
+    # data-error filtering (document-driven rules only): IRI terms built
+    # from raw reference/function values may contain characters illegal in
+    # IRIs — those rows are omitted, not emitted (R2RML term-generation
+    # rules; W3C RMLTC0019b). Template refs are percent-encoded so they
+    # cannot produce invalid characters.
+    if rule.base_iri:
+        for tm, prefix in ((rule.subject, subj_prefix),
+                           (rule.predicate, ""),
+                           (rule.object, col_prefix),
+                           (rule.graph, ""),
+                           (rule.parent_subject,
+                            "parent_" if rule.parent_source is not None else "")):
+            if tm is not None and tm.termtype == M.IRI \
+                    and tm.kind in (M.REFERENCE, M.EXECUTION):
+                raw = compile_term(tm.but(termtype=""), wrap=False,
+                                   col_prefix=prefix)
+                base = base.where(~raw.rlike(_INVALID_IRI_CHARS_RE))
+
     # --- term columns ------------------------------------------------------
     if rule.quoted_subject is not None:
         subj = _quoted_triple_col(rule.quoted_subject, col_prefix=subj_prefix)
     else:
-        subj = compile_term(rule.subject)
+        subj = compile_term(rule.subject, base_iri=rule.base_iri)
 
-    pred = compile_term(rule.predicate)
+    pred = compile_term(rule.predicate, base_iri=rule.base_iri)
 
     # list-returning FNML execution in object position → row explode
     # (reference: fnml_executer.py:120 ``data.explode(fnml_execution)``)
@@ -282,17 +339,19 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
         obj = _quoted_triple_col(rule.quoted_object, col_prefix=col_prefix)
     elif rule.parent_source is not None and rule.join_conditions:
         # referencing object map: object = parent subject over parent_ cols
-        obj = compile_term(rule.parent_subject, col_prefix="parent_")
+        obj = compile_term(rule.parent_subject, col_prefix="parent_",
+                           base_iri=rule.base_iri)
     elif rule.parent_subject is not None:
         # join-less referencing map after self-join elimination: parent
         # subject map evaluated over the child's own rows
-        obj = compile_term(rule.parent_subject)
+        obj = compile_term(rule.parent_subject, base_iri=rule.base_iri)
     else:
         obj = _object_column(rule, col_prefix="")
 
     out_cols = [subj.alias("subject"), pred.alias("predicate"), obj.alias("object")]
     if rule.graph is not None:
-        out_cols.append(compile_term(rule.graph).alias("graph"))
+        out_cols.append(compile_term(rule.graph,
+                                     base_iri=rule.base_iri).alias("graph"))
     return base.select(*out_cols)
 
 
@@ -343,8 +402,10 @@ def _quoted_triple_col(sub_rule: M.Rule, col_prefix: str = "") -> Column:
     if sub_rule.quoted_subject is not None:
         s = _quoted_triple_col(sub_rule.quoted_subject, col_prefix=col_prefix)
     else:
-        s = compile_term(sub_rule.subject, col_prefix=col_prefix)
-    p = compile_term(sub_rule.predicate, col_prefix=col_prefix)
+        s = compile_term(sub_rule.subject, col_prefix=col_prefix,
+                         base_iri=sub_rule.base_iri)
+    p = compile_term(sub_rule.predicate, col_prefix=col_prefix,
+                     base_iri=sub_rule.base_iri)
     if sub_rule.quoted_object is not None:
         if sub_rule.join_conditions:
             raise NotImplementedError(

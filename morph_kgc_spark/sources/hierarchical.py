@@ -112,7 +112,7 @@ def xpath_row_tag(iterator: str) -> str:
     """
     steps = [s for s in iterator.strip().split("/") if s not in ("", "*")]
     if not steps:
-        raise ValueError(f"cannot derive a rowTag from iterator {iterator!r}")
+        return None  # '/' or '/*': the document ROOT is the single row
     last = steps[-1]
     if not _XPATH_STEP_RE.match(last):
         raise ValueError(
@@ -133,35 +133,66 @@ def _xml_leaf_name(name: str) -> str:
     return f"{head}/{last}" if head else last
 
 
-def flatten_xml(df: DataFrame) -> DataFrame:
-    """Cartesian-flatten an XML row: structs → ``a/b`` columns, arrays →
-    explode_outer, attributes → ``@attr`` names at every depth.
+def _xml_leaves(col, dtype, path: str, is_array: bool, out: list) -> None:
+    """Collect leaf columns: struct fields descend into ``a/b`` paths;
+    arrays stay LISTS until the final per-leaf explode (transform maps
+    struct access over array elements; nested arrays flatten)."""
+    if isinstance(dtype, ArrayType):
+        if is_array:
+            col = F.flatten(col)
+        _xml_leaves(col, dtype.elementType, path, True, out)
+    elif isinstance(dtype, StructType):
+        def _get(n):
+            # F.transform passes (element, index) to 2-arg lambdas, so the
+            # field name must be bound via a closure, not a kwarg default
+            return lambda x: x[n]
 
-    Mirrors the reference's per-reference findall + explode
-    (data_file.py:211-251): multi-valued elements multiply rows, one
-    explode per array (sequential explodes = cartesian product).
+        for f in dtype.fields:
+            sub = (F.transform(col, _get(f.name)) if is_array
+                   else col[f.name])
+            _xml_leaves(sub, f.dataType, path + "/" + f.name, is_array, out)
+    else:
+        out.append((_xml_leaf_name(path), col, is_array))
+
+
+def flatten_xml(df: DataFrame) -> DataFrame:
+    """Flatten an XML row per the reference's PER-REFERENCE explode
+    semantics (data_file.py:211-251): every leaf path becomes a column,
+    multi-valued leaves stay lists, then each list explodes
+    INDEPENDENTLY — sibling multi-valued references therefore cross
+    (cartesian product), exactly like the reference's sequential
+    ``df.explode(reference)`` loop (see xml/attributes: every country
+    pairs with every rank when the iterator is the document root).
+
+    Struct-aligned explode would be cheaper at scale but diverges from
+    the reference on root-level iterators; rule-level dedup collapses
+    the duplicates each rule's projection doesn't need.
     """
-    while True:
-        changed = False
-        cols = []
-        for field in df.schema.fields:
-            name, dt = field.name, field.dataType
-            q = f"`{name}`"
-            if isinstance(dt, StructType):
-                for sub in dt.fields:
-                    alias = name + "/" + sub.name
-                    cols.append(F.col(f"{q}.`{sub.name}`").alias(alias))
-                changed = True
-            elif isinstance(dt, ArrayType):
-                cols.append(F.explode_outer(F.col(q)).alias(name))
-                changed = True
-            else:
-                out = _xml_leaf_name(name)
-                cols.append(F.col(q).alias(out))
-                changed = changed or out != name
-        if not changed:
-            return df
-        df = df.select(*cols)
+    leaves: list = []
+    for field in df.schema.fields:
+        _xml_leaves(F.col(f"`{field.name}`"), field.dataType,
+                    field.name, False, leaves)
+    df = df.select(*[col.alias(name) for name, col, _ in leaves])
+    for name, _, is_array in leaves:
+        if is_array:
+            df = df.withColumn(name, F.explode_outer(F.col(f"`{name}`")))
+    return df
+
+
+def _sniff_root_tag(path: str) -> str:
+    """Root element name from the document head (for '/*' iterators).
+
+    Driver-side peek of ≤64 KB — on a DFS cluster this becomes a ranged
+    read of the first block; the tag is in the first bytes either way.
+    """
+    with open(path, "rb") as f:
+        head = f.read(65536).decode("utf-8", "replace")
+    head = re.sub(r"<\?.*?\?>|<!--.*?-->|<!DOCTYPE[^>]*>", "", head,
+                  flags=re.DOTALL)
+    m = re.search(r"<([A-Za-z_][\w.-]*)[\s>/]", head)
+    if not m:
+        raise ValueError(f"cannot find a root element in {path!r}")
+    return m.group(1)
 
 
 def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
@@ -173,6 +204,18 @@ def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
     if row_tag is None:
         if iterator is None:
             raise ValueError("xml source needs rowTag or iterator")
-        row_tag = xpath_row_tag(iterator)
-    df = spark.read.format("xml").option("rowTag", row_tag).load(path)
-    return flatten_xml(df) if flatten else df
+        row_tag = xpath_row_tag(iterator) or _sniff_root_tag(path)
+    # inferSchema off: XPath semantics are lexical — "30.0E0" must stay
+    # the string "30.0E0", not become double 30.0 (RMLTC0005a)
+    df = (spark.read.format("xml").option("rowTag", row_tag)
+          .option("inferSchema", "false").load(path))
+    if not flatten:
+        return df
+    df = flatten_xml(df)
+    # the reference accepts both `country/@name` and `country@name`
+    # (data_file.py:215 replaces '/@' with '@') — expose both spellings
+    for c in df.columns:
+        alt = c.replace("/@", "@")
+        if alt != c and alt not in df.columns:
+            df = df.withColumn(alt, F.col(f"`{c}`"))
+    return df
