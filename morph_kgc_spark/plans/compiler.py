@@ -47,6 +47,13 @@ QUAD_COLS = ("subject", "predicate", "object", "graph")
 DEFAULT_NA_VALUES = ("", "nan")
 
 
+def _ref_col(name: str) -> Column:
+    """Column by EXACT name: backtick-quoted so XPath-ish references
+    (``.``, ``a/b``, ``@id``, JSON dotted paths) resolve as column names
+    rather than nested-field paths."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def prepare_source(df: DataFrame, references: Iterable[str],
                    na_values: Iterable[str] = DEFAULT_NA_VALUES,
                    dedup: bool = True,
@@ -72,19 +79,26 @@ def prepare_source(df: DataFrame, references: Iterable[str],
             if r not in existing:
                 df = df.withColumn(r, F.lit(None).cast("string"))
     null_subset = list(drop_null_subset) if drop_null_subset is not None else refs
-    # plain IsNotNull first: it is implied by the full null-semantics
-    # filter below but, unlike a CASE over a cast, it pushes down to the
-    # parquet scan (row-group/page skipping at 100 TB)
-    out = df.na.drop("any", subset=null_subset) if null_subset else df
+
+    def _not_null(frame, subset):
+        # conjunction of plain IsNotNull: pushes down to the parquet
+        # scan's PushedFilters (row-group/page skipping at 100 TB), and
+        # unlike na.drop it accepts XPath-ish column names like '.'
+        cond = None
+        for r in subset:
+            c = _ref_col(r).isNotNull()
+            cond = c if cond is None else cond & c
+        return frame.where(cond) if cond is not None else frame
+
+    out = _not_null(df, null_subset)
     cols = []
     for r in refs:
-        c = F.col(r).cast("string")
+        c = _ref_col(r).cast("string")
         for na in na_values:
             c = F.when(c == F.lit(na), F.lit(None)).otherwise(c)
         cols.append(c.alias(r))
     out = out.select(*cols)
-    if null_subset:
-        out = out.na.drop("any", subset=null_subset)
+    out = _not_null(out, null_subset)
     if dedup:
         out = out.dropDuplicates()
     return out
@@ -167,7 +181,7 @@ def compile_term(tm: M.TermMap, *, datatype: Optional[str] = None,
     for part, ref in zip(parts, refs):
         if part:
             pieces.append(F.lit(part))
-        col = F.col(col_prefix + ref)
+        col = _ref_col(col_prefix + ref)
         if tm.termtype == M.IRI and tm.kind == M.TEMPLATE:
             col = percent_encode_col(col)
         elif tm.termtype == M.LITERAL:

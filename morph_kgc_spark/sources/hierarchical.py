@@ -124,10 +124,12 @@ def xpath_row_tag(iterator: str) -> str:
 def _xml_leaf_name(name: str) -> str:
     """Rename the last path segment ``_attr`` → ``@attr`` (RML reference
     syntax ``route/stop/@id``); ``_VALUE`` collapses into the parent
-    element's own path (XPath ``element`` returns its text)."""
+    element's own path (XPath ``element`` returns its text); the row
+    element's OWN text is XPath self — ``.`` (reference "." in
+    rml_spec_example_section_5)."""
     head, _, last = name.rpartition("/")
     if last == "_VALUE":
-        return head
+        return head if head else "."
     if last.startswith("_") and not last.startswith("_corrupt"):
         last = "@" + last[1:]
     return f"{head}/{last}" if head else last

@@ -38,10 +38,11 @@ def test_scan_column_pruning(spark):
 
 
 def test_scan_level_null_filter(spark):
-    # the IsNotNull pre-filter reaches the scan's data filters
+    # the IsNotNull pre-filter reaches the scan as a PUSHED filter
     df = entrymod.q_kg_join_customer_nation(spark, SF)
     plan = _executed_plan(df)
-    assert "atleastnnonnulls" in plan  # scan-level row filter present
+    assert "isnotnull" in plan.lower()
+    assert "PushedFilters: [IsNotNull" in plan  # parquet row-group skipping
 
 
 def test_small_parent_broadcast(spark):

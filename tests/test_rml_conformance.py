@@ -25,13 +25,11 @@ REF = "/root/reference"
 FAMILIES = ["rml-core/csv", "rml-core/json", "rml-core/xml",
             "rml-star", "rml-cc"]
 
-# case → reason; xfail(strict=True) so silent fixes get promoted
+# case → reason
 XFAIL = {
-    "rml-core/xml/rml_spec_example_section_5":
-        "XPath '.' self-reference inside elements not supported",
     "rml-core/json/complex":
-        "multi-source JSON mapping with cross-document joins at scale of "
-        "the OpenAire example (join over iterator-scoped sources)",
+        "JSONPath wildcards over dynamic-key objects ($.*.author[*] "
+        "iterators, country.*.label references) — OpenAire example",
 }
 
 BNODE_RE = re.compile(r"_:[A-Za-z0-9]+")
