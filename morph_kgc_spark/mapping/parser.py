@@ -83,7 +83,9 @@ def _source_for(g: Graph, tm: Term, base_dir: str) -> M.Source:
         return M.Source("table", _undelimit(table[1]))
     query = _first(g, ls, "query", "sqlQuery")
     if query is not None:
-        return M.Source("sql", query[1])
+        # tabular views may reference file paths relative to the mapping
+        # root (rml-tv suite) — carried for the DuckDB fallback
+        return M.Source("sql", query[1], {"base_dir": base_dir})
     src = _first(g, ls, "source")
     if src is None:
         raise ValueError("logical source without rml:source")

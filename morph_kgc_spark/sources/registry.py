@@ -114,7 +114,23 @@ class SourceRegistry:
             return xml_source(spark, value, row_tag=opts.get("rowTag"),
                               iterator=opts.get("iterator", "/row"))
         if kind == "sql":
-            return spark.sql(value)
+            try:
+                return spark.sql(value)
+            except Exception:
+                # RML tabular views (rml:query) may use DuckDB-flavored
+                # SQL over file paths (FROM 'x.csv') — exactly what the
+                # reference executes (data_file.py:59-60). Driver-side
+                # DuckDB is the parity path for these small view
+                # definitions; at cluster scale, register the files as
+                # Spark views and use Spark SQL instead.
+                import duckdb
+
+                con = duckdb.connect()
+                if opts.get("base_dir"):
+                    con.execute(
+                        f"SET file_search_path = '{opts['base_dir']}'")
+                pdf = con.execute(value).df()
+                return spark.createDataFrame(pdf)
         if kind == "jdbc":
             from morph_kgc_spark.sources.relational import jdbc_read_options
 

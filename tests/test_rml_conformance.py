@@ -23,7 +23,7 @@ from morph_kgc_spark.mapping import parse_any_mapping
 
 REF = "/root/reference"
 FAMILIES = ["rml-core/csv", "rml-core/json", "rml-core/xml",
-            "rml-star", "rml-cc"]
+            "rml-star", "rml-cc", "rml-tv"]
 
 # case → reason
 XFAIL = {
