@@ -35,6 +35,7 @@ class EngineConfig:
     na_values: tuple[str, ...] = ("", "nan")
     safe_percent_encoding: str | None = None
     only_printable: bool = False
+    udf_path: str | None = None
     output_file: str | None = None
 
     @property
@@ -61,6 +62,9 @@ def load_config(config: str) -> EngineConfig:
             out.safe_percent_encoding = sec["safe_percent_encoding"]
         out.only_printable = sec.getboolean(
             "only_write_printable_characters", fallback=False)
+        if "udfs" in sec:
+            fp = sec["udfs"]
+            out.udf_path = fp if os.path.isabs(fp) else os.path.join(base_dir, fp)
         out.output_file = sec.get("output_file") or sec.get("output_dir")
 
     for name in parser.sections():
@@ -123,6 +127,10 @@ def materialize_from_config(spark: SparkSession, config: str,
     from morph_kgc_spark.mapping import parse_any_mapping as parse_mapping
 
     cfg = load_config(config)
+    if cfg.udf_path:
+        from morph_kgc_spark.functions.builtins import load_udfs
+
+        load_udfs(cfg.udf_path)
     rules = []
     tm_sections: dict[str, str] = {}
     for section, paths in cfg.section_mappings.items():

@@ -165,9 +165,15 @@ def controls_if(bool_expression, value_true, value_false=None) -> Column:
 
 @bif(GREL + "math_round")
 def math_round(number) -> Column:
-    # reference handles ','-decimal inputs (built_in_functions.py:171-180)
-    n = F.replace(_as_col(number), F.lit(","), F.lit("."))
-    return F.round(n.cast("double")).cast("long").cast("string")
+    """Reference number_round (built_in_functions.py:171-180): both
+    separators present → ',' is a thousands separator ('4,894.57' and
+    EU '1.926,82'-style values both contain ',' and '.'); only ',' →
+    decimal comma."""
+    n = _as_col(number)
+    both = n.contains(",") & n.contains(".")
+    n = F.when(both, F.replace(n, F.lit(","), F.lit("")))\
+         .otherwise(F.replace(n, F.lit(","), F.lit(".")))
+    return F.round(n.try_cast("double")).cast("long").cast("string")
 
 
 @bif(GREL + "date_toDate")
@@ -199,6 +205,18 @@ def string_escape(string, mode="html") -> Column:
     return _esc(_as_col(string))
 
 
+def _eval_list(v):
+    """Reference quirk: inputs are stringified lists when they came from
+    string_split, else plain strings sliced character-wise
+    (built_in_functions.py: eval-with-fallback)."""
+    import ast
+
+    try:
+        return ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        return v
+
+
 @bif(GREL + "array_get")
 def array_get(array_str, from_index, to_index=None) -> Column:
     """Index/slice into the stringified-list output of string_split
@@ -206,13 +224,10 @@ def array_get(array_str, from_index, to_index=None) -> Column:
 
     @pandas_udf(StringType())
     def _get(a: pd.Series, i: pd.Series) -> pd.Series:
-        import ast
-
         def one(v, idx):
             if v is None:
                 return None
-            lst = ast.literal_eval(v)
-            return str(lst[int(idx)])
+            return str(_eval_list(v)[int(idx)])
 
         return pd.Series([one(v, idx) for v, idx in zip(a, i)], index=a.index)
 
@@ -221,13 +236,28 @@ def array_get(array_str, from_index, to_index=None) -> Column:
 
     @pandas_udf(StringType())
     def _slice(a: pd.Series, i: pd.Series, j: pd.Series) -> pd.Series:
-        import ast
-
         return pd.Series(
-            [str(ast.literal_eval(v)[int(x):int(y)]) if v is not None else None
+            [str(_eval_list(v)[int(x):int(y)]) if v is not None else None
              for v, x, y in zip(a, i, j)], index=a.index)
 
     return _slice(_as_col(array_str), _as_col(from_index), _as_col(to_index))
+
+
+@bif(GREL + "array_slice")
+def array_slice(array_str, from_index, to_index=None) -> Column:
+    """Slice of the (stringified) list; open-ended without to_index —
+    unlike array_get's single-element read (built_in_functions.py
+    string_array_slice)."""
+    if to_index is not None:
+        return array_get(array_str, from_index, to_index)
+
+    @pandas_udf(StringType())
+    def _tail(a: pd.Series, i: pd.Series) -> pd.Series:
+        return pd.Series(
+            [str(_eval_list(v)[int(x):]) if v is not None else None
+             for v, x in zip(a, i)], index=a.index)
+
+    return _tail(_as_col(array_str), _as_col(from_index))
 
 
 @bif(IDLAB + "hash")
@@ -259,6 +289,32 @@ def grel_uuid() -> Column:
     return F.expr("uuid()")
 
 
+@bif("http://example.com/idlab/function/toUpperCaseURL")
+def example_to_upper_case_url(url=None, **kw) -> Column:
+    """Reference built_in_functions.py:226-241, quirks included: http(s)
+    inputs keep their scheme and encode ONLY the first 7-8 characters
+    uppercased (reference slices [:8]); schemeless values become
+    http://<encoded upper>."""
+    url = url if url is not None else kw.get("str", kw.get("string"))
+
+    @pandas_udf(StringType())
+    def _u(s: pd.Series) -> pd.Series:
+        from urllib.parse import quote
+
+        def one(v):
+            if v is None:
+                return None
+            low = v.lower()
+            if low.startswith("https://"):
+                return "https://" + quote(v[:8].upper(), safe="")
+            if low.startswith("http://"):
+                return "http://" + quote(v[:7].upper(), safe="")
+            return "http://" + quote(v.upper(), safe="")
+        return s.map(one)
+
+    return _u(_as_col(url))
+
+
 @bif(IDLAB + "toUpperCaseURL")
 def to_upper_case_url(url) -> Column:
     from morph_kgc_spark.functions.encoding import percent_encode_col
@@ -287,3 +343,97 @@ def load_udfs(path: str) -> None:
     scope = {"udf": udf, "bif": bif, "F": F}
     with open(path, encoding="utf-8") as f:
         exec(compile(f.read(), path, "exec"), scope)  # noqa: S102
+
+
+# ---------------------------------------------------------------------------
+# morph-kgc's own builtin namespace (built-in.ttl#) — aliases of the
+# builders above, matching reference built_in_functions.py:185-255
+# ---------------------------------------------------------------------------
+
+MORPH = "https://github.com/morph-kgc/morph-kgc/function/built-in.ttl#"
+
+bif_dict[MORPH + "uuid"] = bif_dict[GREL + "uuid"]
+bif_dict[MORPH + "string_split_explode"] = bif_dict[GREL + "string_split_explode"]
+bif_dict[MORPH + "controls_if_cast"] = bif_dict[GREL + "controls_if_cast"]
+bif_dict[MORPH + "hash"] = bif_dict[IDLAB + "hash"]
+bif_dict[MORPH + "hash_iri"] = bif_dict[IDLAB + "hash_iri"]
+
+# reference GREL ids that differ from the long-form names above
+# (built_in_functions.py registers reverse/toTitleCase/array_slice)
+bif_dict[GREL + "reverse"] = bif_dict[GREL + "string_reverse"]
+bif_dict[GREL + "toTitleCase"] = bif_dict[GREL + "string_toTitlecase"]
+
+
+
+@bif(MORPH + "concat")
+def morph_concat(str1, str2, separator="") -> Column:
+    """built-in.ttl#concat(valueParam1, valueParam2[, param_string_sep])."""
+    sep = separator if isinstance(separator, str) else ""
+    if not isinstance(separator, str):
+        return F.concat(_as_col(str1), _as_col(separator), _as_col(str2))
+    return F.concat_ws(sep, _as_col(str1), _as_col(str2))
+
+
+# ---------------------------------------------------------------------------
+# user-defined function files (reference fnml_executer.py:14-41): a python
+# file of @udf(fun_id, kwarg=param_iri, ...) row-wise functions, exec'd and
+# wrapped into Arrow-batched pandas UDF builders
+# ---------------------------------------------------------------------------
+
+
+def _wrap_row_fn(fn, mapped: dict) -> Column:
+    """Vectorize a per-row python function over Arrow batches."""
+    names = list(mapped)
+    cols = [_as_col(v) for v in mapped.values()]
+
+    @pandas_udf(StringType())
+    def _vec(*series: pd.Series) -> pd.Series:
+        out = []
+        for vals in zip(*series):
+            r = fn(**dict(zip(names, vals)))
+            out.append(str(r) if r is not None and not isinstance(r, str) else r)
+        return pd.Series(out, index=series[0].index if series else None)
+
+    if not cols:  # zero-arg udf
+        raise ValueError("zero-argument user UDFs are not supported")
+    return _vec(*cols)
+
+
+def load_udfs(path: str) -> list[str]:
+    """Load a reference-style UDF file; returns the registered fun_ids.
+
+    Each declared parameter accepts its kwarg name, the param IRI's local
+    name, or the engine's global alias for it — whichever the mapping
+    parser produced.
+    """
+    registered: list[str] = []
+
+    def udf_decl(fun_id: str, **params):
+        def wrapper(fn):
+            def builder(**kwargs):
+                from morph_kgc_spark.mapping.parser import PARAM_ALIASES
+
+                mapped = {}
+                for kw, iri in params.items():
+                    local = iri.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+                    for cand in (kw, local, PARAM_ALIASES.get(local, local)):
+                        if cand in kwargs:
+                            mapped[kw] = kwargs.pop(cand)
+                            break
+                if kwargs:
+                    raise ValueError(
+                        f"unmapped arguments {sorted(kwargs)} for {fun_id}")
+                return _wrap_row_fn(fn, mapped)
+
+            builder.explodes = False
+            bif_dict[fun_id] = builder
+            registered.append(fun_id)
+            return fn
+
+        return wrapper
+
+    with open(path, encoding="utf-8") as f:
+        code = f.read()
+    namespace = {"udf": udf_decl}
+    exec(compile(code, path, "exec"), namespace)  # noqa: S102 — reference semantics
+    return registered

@@ -28,13 +28,15 @@ RR = "http://www.w3.org/ns/r2rml#"
 RML_L = "http://semweb.mmlab.be/ns/rml#"
 RML_N = "http://w3id.org/rml/"
 QL = "http://semweb.mmlab.be/ns/ql#"
+FNML = "http://semweb.mmlab.be/ns/fnml#"
 
 
 def _props(*names: str) -> list[str]:
-    """Expand a property name over all three vocab namespaces."""
+    """Expand a property name over the vocab namespaces (incl. legacy
+    fnml: for function executions)."""
     out = []
     for n in names:
-        out += [RR + n, RML_L + n, RML_N + n]
+        out += [RR + n, RML_L + n, RML_N + n, FNML + n]
     return out
 
 
@@ -129,10 +131,15 @@ PARAM_ALIASES = {
     "param_replace": "new",
     "param_int_i_from": "from_index",
     "param_int_i_opt_to": "to_index",
+    "p_int_i_from": "from_index",
+    "p_int_i_opt_to": "to_index",
+    "param_dec_n": "number",
     "p_array_a": "array_str",
     "param_a": "array_str",
     "startParam": "str1",
     "endParam": "str2",
+    "valueParam1": "str1",
+    "valueParam2": "str2",
     "delimiterParam": "delimiter",
 }
 
@@ -155,14 +162,18 @@ def _function_execution(g: Graph, exec_node: Term, termtype: str) -> M.TermMap:
             param = _first(g, pm, "constant") if pm is not None else None
         if param is None:
             raise ValueError("rml:input without parameter")
-        vm = _first(g, inp, "inputValueMap")
+        vm = _first(g, inp, "inputValueMap", "valueMap", "inputValue")
         if vm is None:
-            raise ValueError("rml:input without inputValueMap")
-        nested = _first(g, vm, "functionExecution")
-        if nested is not None:
-            arg = _function_execution(g, nested, M.LITERAL)
+            raise ValueError("rml:input without inputValueMap/inputValue")
+        if vm[0] == "literal" or (vm[0] == "iri" and not g.predicates(vm)):
+            # rml:inputValue constant shortcut (reference fnml vocab)
+            arg = M.TermMap(M.CONSTANT, vm[1], M.LITERAL)
         else:
-            arg = _term_map(g, vm, M.LITERAL, "fn-arg")
+            nested = _first(g, vm, "functionExecution")
+            if nested is not None:
+                arg = _function_execution(g, nested, M.LITERAL)
+            else:
+                arg = _term_map(g, vm, M.LITERAL, "fn-arg")
         args.append((_param_name(param[1]), arg))
     return M.TermMap(M.EXECUTION, fn[1], termtype, args=tuple(args))
 
@@ -232,7 +243,7 @@ def _term_map(g: Graph, node: Term, default_termtype: str,
             f"invalid termtype {termtype!r} in {position} position "
             f"(allowed: {sorted(_VALID_TERMTYPES[position])})")
 
-    fn_exec = _first(g, node, "functionExecution")
+    fn_exec = _first(g, node, "functionExecution", "execution")
     if fn_exec is not None:
         default = M.LITERAL if position == "object" else default_termtype
         return _function_execution(g, fn_exec, termtype or default)

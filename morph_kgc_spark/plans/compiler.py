@@ -366,7 +366,17 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
     if rule.graph is not None:
         out_cols.append(compile_term(rule.graph,
                                      base_iri=rule.base_iri).alias("graph"))
-    return base.select(*out_cols)
+    out = base.select(*out_cols)
+    # function executions may yield null (e.g. controls_if with no
+    # value_false) — such triples are filtered, not emitted (reference:
+    # built_in_functions.py:194 'this will be filtered when removing
+    # nulls'). Only EXECUTION-built positions get the filter so plain
+    # rules keep their exact plans.
+    for tm, pos in ((rule.subject, "subject"), (rule.predicate, "predicate"),
+                    (rule.object, "object"), (rule.graph, "graph")):
+        if tm is not None and tm.kind == M.EXECUTION:
+            out = out.where(F.col(pos).isNotNull())
+    return out
 
 
 def _compile_gather_rule(spark: SparkSession, rule: M.Rule,

@@ -97,7 +97,7 @@ def json_source(spark: SparkSession, path: str, iterator: str = "$.*",
 
 
 # an XPath iterator step: a plain element name (no predicates/functions)
-_XPATH_STEP_RE = re.compile(r"^[A-Za-z_][\w.-]*$")
+_XPATH_STEP_RE = re.compile(r"^[A-Za-z_][\w.:-]*$")  # ':' = XML namespaces
 
 
 def xpath_row_tag(iterator: str) -> str:

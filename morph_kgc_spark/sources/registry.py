@@ -98,6 +98,10 @@ class SourceRegistry:
             return spark.read.orc(value)
         if kind == "csv":
             opts.setdefault("header", "true")
+            if "sep" not in opts:
+                sep = _sniff_csv_delimiter(value)
+                if sep:
+                    opts["sep"] = sep
             return spark.read.options(**opts).csv(value)
         if kind == "json":
             from morph_kgc_spark.sources.hierarchical import json_source
@@ -140,6 +144,24 @@ class SourceRegistry:
         if kind == "pandas_any":
             return _pandas_fallback(spark, value, opts)
         raise ValueError(f"unknown source kind: {kind!r}")
+
+
+def _sniff_csv_delimiter(path: str) -> str | None:
+    """Detect non-comma delimiters from the file head (reference
+    data_file.py:63-88 sniffs on parse failure — issue #81: ';' CSVs).
+
+    Driver-side peek of the first KB; on a DFS this is a ranged read.
+    Returns None for plain comma CSVs (the reader default).
+    """
+    import csv as _csv
+
+    try:
+        with open(path, newline="", encoding="utf-8", errors="replace") as f:
+            head = f.read(4096)
+        sep = _csv.Sniffer().sniff(head, delimiters=",;\t|").delimiter
+        return sep if sep != "," else None
+    except Exception:
+        return None
 
 
 def _pandas_fallback(spark: SparkSession, path: str, opts: dict) -> DataFrame:

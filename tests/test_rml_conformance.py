@@ -23,7 +23,7 @@ from morph_kgc_spark.mapping import parse_any_mapping
 
 REF = "/root/reference"
 FAMILIES = ["rml-core/csv", "rml-core/json", "rml-core/xml",
-            "rml-star", "rml-cc", "rml-tv"]
+            "rml-star", "rml-cc", "rml-tv", "rml-fnml", "issues"]
 
 # case → reason
 XFAIL = {
@@ -125,6 +125,11 @@ def _read_expected(case_dir: str) -> list[str]:
 
 
 def _materialize(spark, case_dir: str):
+    udf_file = os.path.join(case_dir, "udf.py")
+    if os.path.exists(udf_file):
+        from morph_kgc_spark.functions.builtins import load_udfs
+
+        load_udfs(udf_file)
     with open(os.path.join(case_dir, "mapping.ttl")) as f:
         text = f.read()
     try:
@@ -158,4 +163,12 @@ def test_rml_conformance(spark, name, case_dir):
         if "graph" in df.columns and r.graph is not None:
             parts.append(r.graph)
         ours.append(" ".join(parts))
+    with open(os.path.join(case_dir, "mapping.ttl")) as f:
+        mapping_text = f.read()
+    if "#uuid" in mapping_text or ":uuid" in mapping_text:
+        # non-deterministic uuid values: the reference's own test only
+        # compares triple LENGTHS (test_RMLFNOTC0000_CSV)
+        assert sorted(len(o) for o in _canon(ours)) == \
+               sorted(len(e) for e in _canon(expected)), name
+        return
     assert _canon(ours) == _canon(expected), name
