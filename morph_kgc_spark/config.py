@@ -36,6 +36,8 @@ class EngineConfig:
     safe_percent_encoding: str | None = None
     only_printable: bool = False
     udf_path: str | None = None
+    infer_sql_datatypes: bool = False
+    db_urls: dict[str, str] = field(default_factory=dict)  # section → url
     output_file: str | None = None
 
     @property
@@ -65,6 +67,8 @@ def load_config(config: str) -> EngineConfig:
         if "udfs" in sec:
             fp = sec["udfs"]
             out.udf_path = fp if os.path.isabs(fp) else os.path.join(base_dir, fp)
+        out.infer_sql_datatypes = sec.getboolean(
+            "infer_sql_datatypes", fallback=False)
         out.output_file = sec.get("output_file") or sec.get("output_dir")
 
     for name in parser.sections():
@@ -85,6 +89,8 @@ def load_config(config: str) -> EngineConfig:
             if not os.path.isabs(fp):
                 fp = os.path.join(base_dir, fp)
             out.file_path_overrides[name] = fp
+        if "db_url" in sec:
+            out.db_urls[name] = sec["db_url"]
     if not out.section_mappings:
         raise ValueError("config declares no data source sections with mappings")
     return out
@@ -112,6 +118,15 @@ def _override_source(src, path: str):
     from morph_kgc_spark.model import Source
 
     return Source(kind, path, options)
+
+
+def _attach_db(src, db_url: str):
+    """Bind a data-source section's db_url to its table/sql sources."""
+    if src is None or src.kind not in ("table", "sql"):
+        return src
+    from morph_kgc_spark.model import Source
+
+    return Source(src.kind, src.value, {**src.options, "db_url": db_url})
 
 
 def materialize_from_config(spark: SparkSession, config: str,
@@ -155,6 +170,21 @@ def materialize_from_config(spark: SparkSession, config: str,
                                                          override))
                     for r in section_rules
                 ]
+            db_url = cfg.db_urls.get(section)
+            if db_url:
+                section_rules = [
+                    r.but(source=_attach_db(r.source, db_url),
+                          parent_source=_attach_db(r.parent_source, db_url))
+                    for r in section_rules
+                ]
+                if cfg.infer_sql_datatypes and db_url.startswith("sqlite:"):
+                    from morph_kgc_spark.sources.relational import (
+                        infer_sql_datatypes,
+                        sqlite_type_lookup,
+                    )
+
+                    section_rules = infer_sql_datatypes(
+                        section_rules, sqlite_type_lookup(db_url))
             rules.extend(section_rules)
     df = materialize(spark, rules, na_values=cfg.na_values,
                      safe_percent_encoding=cfg.safe_percent_encoding)

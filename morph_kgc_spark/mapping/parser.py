@@ -85,6 +85,11 @@ def _source_for(g: Graph, tm: Term, base_dir: str) -> M.Source:
         return M.Source("table", _undelimit(table[1]))
     query = _first(g, ls, "query", "sqlQuery")
     if query is not None:
+        version = _first(g, ls, "sqlVersion")
+        if version is not None and version[1] != RR + "SQL2008":
+            # R2RML: rr:SQL2008 is the only registered identifier; an
+            # unknown version is a mapping error (W3C R2RMLTC0003a)
+            raise ValueError(f"unsupported rr:sqlVersion {version[1]!r}")
         # tabular views may reference file paths relative to the mapping
         # root (rml-tv suite) — carried for the DuckDB fallback
         return M.Source("sql", query[1], {"base_dir": base_dir})

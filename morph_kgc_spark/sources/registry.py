@@ -91,6 +91,10 @@ class SourceRegistry:
         if kind == "df":
             return self._named[value]
         if kind == "table":
+            if opts.get("db_url", "").startswith("sqlite:"):
+                from morph_kgc_spark.sources.relational import load_sqlite
+
+                return load_sqlite(spark, opts["db_url"], table=value)
             return spark.read.table(value)
         if kind == "parquet":
             return spark.read.parquet(value)
@@ -118,6 +122,10 @@ class SourceRegistry:
             return xml_source(spark, value, row_tag=opts.get("rowTag"),
                               iterator=opts.get("iterator", "/row"))
         if kind == "sql":
+            if opts.get("db_url", "").startswith("sqlite:"):
+                from morph_kgc_spark.sources.relational import load_sqlite
+
+                return load_sqlite(spark, opts["db_url"], query=value)
             try:
                 return spark.sql(value)
             except Exception:

@@ -180,3 +180,64 @@ def jdbc_read_options(options: dict, references: Iterable[str] = ()) -> dict:
     elif table:
         opts.setdefault("dbtable", table)
     return opts
+
+
+def sqlite_path(db_url: str) -> Optional[str]:
+    """sqlite:///path/to.db → filesystem path (else None)."""
+    if db_url.startswith("sqlite:///"):
+        return db_url[len("sqlite:///"):]
+    return None
+
+
+def sqlite_type_lookup(db_url: str) -> TypeLookup:
+    """Column-type lookup for SQLite — byte-compatible with the
+    reference (relational_db.py:102-104), which runs
+    ``SELECT typeof('{column}') FROM table``: the SINGLE QUOTES make the
+    column name a string literal, so typeof is always 'text' and sqlite
+    inference never fires. Replicated verbatim because the expected
+    outputs of the R2RML suite (R2RMLTC0016a/0018a) encode exactly this
+    behavior — plain literals despite infer_sql_datatypes=yes."""
+    import sqlite3
+
+    path = sqlite_path(db_url)
+
+    def lookup(table: str, column: str) -> Optional[str]:
+        try:
+            con = sqlite3.connect(path)
+            cur = con.execute(
+                f"SELECT typeof('{column}') FROM \"{table}\" LIMIT 1")
+            row = cur.fetchone()
+            con.close()
+            return row[0] if row else None
+        except Exception:
+            return None
+
+    return lookup
+
+
+def load_sqlite(spark, db_url: str, table: Optional[str] = None,
+                query: Optional[str] = None):
+    """Driver-side SQLite load. Test-scale databases only; a production
+    deployment reads through JDBC with the pushed-down query from
+    :func:`build_select`.
+
+    Reads through the raw sqlite3 cursor, NOT pandas: pandas upcasts
+    integer columns containing NULL to float64, turning join keys like
+    100 into '100.0' and silently emptying equi-joins (R2RMLTC0009a).
+    The cursor keeps python ints/floats/str/None; Spark infers the
+    schema per column over all rows.
+    """
+    import sqlite3
+
+    con = sqlite3.connect(sqlite_path(db_url))
+    sql = query if query is not None else f'SELECT * FROM "{table}"'
+    cur = con.execute(sql)
+    columns = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    if not rows:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType([StructField(c, StringType()) for c in columns])
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, columns)

@@ -23,13 +23,44 @@ from morph_kgc_spark.mapping import parse_any_mapping
 
 REF = "/root/reference"
 FAMILIES = ["rml-core/csv", "rml-core/json", "rml-core/xml",
-            "rml-star", "rml-cc", "rml-tv", "rml-fnml", "issues"]
+            "rml-star", "rml-cc", "rml-tv", "rml-fnml", "issues", "r2rml"]
 
 # case → reason
+_R2RML_NATMAP = (
+    "suite-internal inconsistency: these expected outputs encode W3C "
+    "natural-mapping typed literals / canonical double lexicals "
+    "('3.0E1', '10'^^xsd:integer) that the reference implementation "
+    "itself does not produce (its sqlite type lookup quotes the column "
+    "name as a string literal, so inference never fires), while sibling "
+    "cases with identical shapes (R2RMLTC0016a vs 0007e: both "
+    "rr:column ID over INTEGER) expect PLAIN literals — the two "
+    "expectations are mutually exclusive for one engine")
+
 XFAIL = {
     "rml-core/json/complex":
         "JSONPath wildcards over dynamic-key objects ($.*.author[*] "
         "iterators, country.*.label references) — OpenAire example",
+    "r2rml/R2RMLTC0002b":
+        "expected-error case with no invalid construct we can detect "
+        "(blank-node template subject is legal elsewhere in the suite)",
+    "r2rml/R2RMLTC0002f": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0005b": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0007e": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0007f": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0008a": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0012a": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0012b": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0012e": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0016b": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0016c": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0016d": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0016e": _R2RML_NATMAP,
+    "r2rml/R2RMLTC0020a":
+        "shipped resource.db ('http://company.com/Alice') contradicts "
+        "the expected output ('http://example.com/company/Alice')",
+    "r2rml/R2RMLTC0020b":
+        "shipped resource.db contradicts the expected output (same as "
+        "R2RMLTC0020a)",
 }
 
 BNODE_RE = re.compile(r"_:[A-Za-z0-9]+")
@@ -130,6 +161,21 @@ def _materialize(spark, case_dir: str):
         from morph_kgc_spark.functions.builtins import load_udfs
 
         load_udfs(udf_file)
+    db_file = os.path.join(case_dir, "resource.db")
+    if os.path.exists(db_file):
+        # SQLite-backed case (r2rml family): drive it exactly like the
+        # reference test does — through the INI config
+        infer = ""
+        for name in os.listdir(case_dir):
+            if name.startswith("test_") and name.endswith(".py"):
+                with open(os.path.join(case_dir, name)) as f:
+                    if "infer_sql_datatypes=yes" in f.read():
+                        infer = "infer_sql_datatypes=yes\n"
+        ini = (f"[CONFIGURATION]\n{infer}"
+               f"[DataSource]\nmappings={case_dir}/mapping.ttl\n"
+               f"db_url=sqlite:///{db_file}\n")
+        df = mks.materialize_from_config(spark, ini)
+        return df, df.collect()
     with open(os.path.join(case_dir, "mapping.ttl")) as f:
         text = f.read()
     try:
