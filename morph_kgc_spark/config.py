@@ -130,7 +130,8 @@ def _attach_db(src, db_url: str):
 
 
 def materialize_from_config(spark: SparkSession, config: str,
-                            write: bool = False) -> DataFrame:
+                            write: bool = False,
+                            python_source: dict | None = None) -> DataFrame:
     """Reference-compatible entry: INI config → triples DataFrame.
 
     Applies every parsed configuration key: per-section ``file_path``
@@ -186,7 +187,17 @@ def materialize_from_config(spark: SparkSession, config: str,
                     section_rules = infer_sql_datatypes(
                         section_rules, sqlite_type_lookup(db_url))
             rules.extend(section_rules)
-    df = materialize(spark, rules, na_values=cfg.na_values,
+    registry = None
+    if python_source:
+        # reference-compatible in-memory data (morph_kgc.materialize's
+        # second argument): {sd:name → dict | list | DataFrame}
+        from morph_kgc_spark.sources.registry import default_registry
+
+        registry = default_registry()
+        for name, data in python_source.items():
+            registry.register_python(spark, name, data)
+    df = materialize(spark, rules, registry=registry,
+                     na_values=cfg.na_values,
                      safe_percent_encoding=cfg.safe_percent_encoding)
     if write and cfg.output_file:
         from morph_kgc_spark.sinks.ntriples import write_ntriples

@@ -29,6 +29,7 @@ RML_L = "http://semweb.mmlab.be/ns/rml#"
 RML_N = "http://w3id.org/rml/"
 QL = "http://semweb.mmlab.be/ns/ql#"
 FNML = "http://semweb.mmlab.be/ns/fnml#"
+SD = "https://w3id.org/okn/o/sd#"
 
 
 def _props(*names: str) -> list[str]:
@@ -96,6 +97,16 @@ def _source_for(g: Graph, tm: Term, base_dir: str) -> M.Source:
     src = _first(g, ls, "source")
     if src is None:
         raise ValueError("logical source without rml:source")
+    # in-memory python source: rml:source [ a sd:DatasetSpecification ;
+    # sd:name "var" ] (reference data_source/python_data.py; the
+    # rml-in-memory suite) — resolved from data the caller registered
+    sd_name = g.value(src, SD + "name")
+    if sd_name is not None:
+        options = {}
+        it = _first(g, ls, "iterator")
+        if it is not None:
+            options["iterator"] = it[1]
+        return M.Source("python", sd_name[1], options)
     path = src[1]
     if not os.path.isabs(path):
         path = os.path.join(base_dir, path)

@@ -57,23 +57,46 @@ class SourceRegistry:
     def register_python(self, spark: SparkSession, name: str, data) -> None:
         """Reference-compatible in-memory sources
         (src/morph_kgc/data_source/python_data.py:17-66): a pandas
-        DataFrame, list of dicts, dict of lists, or a JSON string."""
-        import json as _json
-
+        DataFrame, (nested) dict, list of dicts, or a JSON string.
+        Nested dicts/lists stay raw so an rml:iterator can navigate them
+        at load time (sd:DatasetSpecification sources)."""
         import pandas as pd
 
         if isinstance(data, DataFrame):
             self._named[name] = data
-            return
+        elif isinstance(data, pd.DataFrame):
+            # reference quirk (python_data.py:23-26): double quotes are
+            # STRIPPED from string columns of in-memory DataFrames
+            data = data.copy()
+            for col in data.select_dtypes(include=["object"]).columns:
+                data[col] = data[col].map(
+                    lambda x: x.replace('"', "") if isinstance(x, str) else x)
+            self._named[name] = spark.createDataFrame(data)
+        else:
+            self._python = getattr(self, "_python", {})
+            self._python[name] = data
+
+    def _load_python(self, spark: SparkSession, name: str, opts: dict) -> DataFrame:
+        if name in self._named:
+            return self._named[name]
+        data = getattr(self, "_python", {}).get(name)
+        if data is None:
+            raise ValueError(
+                f"python source {name!r} not registered — call "
+                "register_python(spark, name, data) or pass python_source")
+        import json as _json
+        import tempfile
+
+        from morph_kgc_spark.sources.hierarchical import json_source
+
         if isinstance(data, str):
-            data = _json.loads(data)
-        if isinstance(data, dict):
-            data = pd.DataFrame(data)
-        elif isinstance(data, list):
-            data = pd.DataFrame.from_records(data)
-        if not isinstance(data, pd.DataFrame):
-            raise ValueError(f"unsupported python source type for {name!r}")
-        self._named[name] = spark.createDataFrame(data)
+            payload = data
+        else:
+            payload = _json.dumps(data)
+        path = tempfile.mktemp(suffix=".json", prefix=f"pysrc_{name}_")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(payload)
+        return json_source(spark, path, iterator=opts.get("iterator", "$.*"))
 
     def __call__(self, spark: SparkSession, source: M.Source) -> DataFrame:
         key = source.cache_key()
@@ -88,8 +111,10 @@ class SourceRegistry:
 
     def _load(self, spark: SparkSession, source: M.Source) -> DataFrame:
         kind, value, opts = source.kind, source.value, dict(source.options)
-        if kind == "df":
-            return self._named[value]
+        if kind in ("df", "python"):
+            if value in self._named:
+                return self._named[value]
+            return self._load_python(spark, value, opts)
         if kind == "table":
             if opts.get("db_url", "").startswith("sqlite:"):
                 from morph_kgc_spark.sources.relational import load_sqlite

@@ -23,7 +23,8 @@ from morph_kgc_spark.mapping import parse_any_mapping
 
 REF = "/root/reference"
 FAMILIES = ["rml-core/csv", "rml-core/json", "rml-core/xml",
-            "rml-star", "rml-cc", "rml-tv", "rml-fnml", "issues", "r2rml"]
+            "rml-star", "rml-cc", "rml-tv", "rml-fnml", "issues", "r2rml",
+            "rml-in-memory/json_dictionary", "rml-in-memory/pandas_dataframe"]
 
 # case → reason
 _R2RML_NATMAP = (
@@ -155,7 +156,42 @@ def _read_expected(case_dir: str) -> list[str]:
                 if ln.strip() and not ln.lstrip().startswith("#")]
 
 
+def _extract_python_source(case_dir: str):
+    """Pull the in-memory data definition out of the case's reference
+    test: the statements between the test function header and the
+    mapping_path line build the python_source dict passed to
+    materialize (rml-in-memory suite)."""
+    import textwrap
+
+    for name in sorted(os.listdir(case_dir)):
+        if not (name.startswith("test_") and name.endswith(".py")):
+            continue
+        with open(os.path.join(case_dir, name)) as f:
+            body = f.read()
+        m = re.search(r"def test_\w+\(\):\n(.*?)\n\s*mapping_path",
+                      body, re.DOTALL)
+        call = re.search(r"materialize(?:_set)?\(config\s*,\s*(\w+)\s*\)", body)
+        if not m or not call:
+            return None
+        code = "\n".join(
+            ln for ln in textwrap.dedent(m.group(1)).splitlines()
+            if not ln.strip().startswith(("g.parse", "g =", "#")))
+        import pandas as pd
+
+        ns = {"pd": pd, "pandas": pd, "os": os}
+        exec(compile(code, name, "exec"), ns)  # noqa: S102 — suite fixtures
+        return ns.get(call.group(1))
+    return None
+
+
 def _materialize(spark, case_dir: str):
+    if "rml-in-memory" in case_dir:
+        data = _extract_python_source(case_dir)
+        if data is None:
+            pytest.skip("could not extract in-memory fixture data")
+        ini = f"[DataSource]\nmappings={case_dir}/mapping.ttl\n"
+        df = mks.materialize_from_config(spark, ini, python_source=data)
+        return df, df.collect()
     udf_file = os.path.join(case_dir, "udf.py")
     if os.path.exists(udf_file):
         from morph_kgc_spark.functions.builtins import load_udfs
