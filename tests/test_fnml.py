@@ -151,3 +151,25 @@ def test_function_in_predicate_position(spark):
         object=M.TermMap(M.CONSTANT, EX + "o", M.IRI))
     [r] = compile_rule(spark, rule, reg).collect()
     assert r.predicate == f"<{EX}knows>"
+
+
+def test_load_udfs_from_file(spark, tmp_path):
+    """Reference-style user UDF file: @udf functions become Arrow-batched
+    builders; params accept kwarg/local/alias spellings."""
+    from morph_kgc_spark.functions.builtins import bif_dict, load_udfs
+
+    udf_file = tmp_path / "udf.py"
+    udf_file.write_text(
+        "@udf(fun_id='http://ex/rev3',\n"
+        "     text='http://users.ugent.be/~bjdmeest/function/grel.ttl#valueParam')\n"
+        "def rev3(text):\n"
+        "    return text[::-1][:3]\n")
+    ids = load_udfs(str(udf_file))
+    assert ids == ["http://ex/rev3"]
+    assert "http://ex/rev3" in bif_dict
+
+    reg = _reg(spark, pd.DataFrame({"ID": ["1"], "Name": ["Venus"]}))
+    obj = M.TermMap(M.EXECUTION, "http://ex/rev3", M.LITERAL,
+                    args=(("string", M.TermMap(M.REFERENCE, "Name")),))
+    [r] = compile_rule(spark, _rule(obj), reg).collect()
+    assert r.object == '"sun"'
