@@ -77,6 +77,10 @@ def prepare_source(df: DataFrame, references: Iterable[str],
         existing = set(df.columns)
         for r in refs:
             if r not in existing:
+                # includes '.*'-wildcard references (country.*.label):
+                # the reference's JSONPath extraction also yields nothing
+                # for them (json/complex expects NO such triples), so
+                # they become all-null and their rows drop
                 df = df.withColumn(r, F.lit(None).cast("string"))
     null_subset = list(drop_null_subset) if drop_null_subset is not None else refs
 

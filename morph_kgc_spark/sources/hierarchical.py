@@ -47,6 +47,11 @@ def apply_iterator(df: DataFrame, iterator: str) -> DataFrame:
         raise ValueError(f"unsupported iterator {iterator!r}")
     cur = df
     for raw_step in it[2:].split("."):
+        if raw_step in ("*", "[*]"):
+            # wildcard over the current nodes: a top-level JSON array is
+            # already row-ized by spark.read.json, so '*' mid-path
+            # ($.*.author[*]) iterates the rows themselves — no-op
+            continue
         m = _STEP_RE.match(raw_step)
         if not m or not m.group("key"):
             raise ValueError(f"unsupported iterator step {raw_step!r} in {iterator!r}")

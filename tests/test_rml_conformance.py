@@ -38,9 +38,6 @@ _R2RML_NATMAP = (
     "expectations are mutually exclusive for one engine")
 
 XFAIL = {
-    "rml-core/json/complex":
-        "JSONPath wildcards over dynamic-key objects ($.*.author[*] "
-        "iterators, country.*.label references) — OpenAire example",
     "r2rml/R2RMLTC0002b":
         "expected-error case with no invalid construct we can detect "
         "(blank-node template subject is legal elsewhere in the suite)",
