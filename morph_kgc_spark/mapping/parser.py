@@ -73,6 +73,8 @@ def _all(g: Graph, s: Term, *names: str) -> list[Term]:
 _EXT_KIND = {
     ".csv": "csv", ".tsv": "csv", ".json": "json", ".parquet": "parquet",
     ".orc": "orc", ".xml": "xml", ".xlsx": "pandas_any",
+    ".xls": "pandas_any", ".ods": "pandas_any", ".dta": "pandas_any",
+    ".sas7bdat": "pandas_any", ".sav": "pandas_any",
     ".feather": "pandas_any",
 }
 
@@ -194,7 +196,7 @@ def _function_execution(g: Graph, exec_node: Term, termtype: str) -> M.TermMap:
     return M.TermMap(M.EXECUTION, fn[1], termtype, args=tuple(args))
 
 
-def _gather_spec(g: Graph, om: Term) -> M.GatherSpec:
+def _gather_spec(g: Graph, om: Term, position: str = "object") -> M.GatherSpec:
     """Parse rml:gather (an RDF collection of value maps) + rml:gatherAs."""
     gather_head = _first(g, om, "gather")
     gather_as = _first(g, om, "gatherAs")
@@ -235,7 +237,56 @@ def _gather_spec(g: Graph, om: Term) -> M.GatherSpec:
         head=head,
         strategy=(strategy[1].rsplit("/", 1)[-1] if strategy else "append"),
         allow_empty=bool(allow_empty and str(allow_empty[1]).lower() == "true"),
+        position=position,
     )
+
+
+def _subject_gather_rule(g: Graph, tm: Term, subj_node: Term,
+                         source: M.Source, tm_id: str) -> M.Rule:
+    """Compile a TM whose subjectMap carries rml:gather into ONE rule.
+
+    The collection node (subjectMap template if named, else a fresh bnode
+    per row) heads the chain/container AND subjects every
+    predicate-object pair (reference materializer.py:454-892;
+    test/rml-cc/JSON/RMLTC-CC-0004-SM* and -unnamed variants).
+    """
+    spec = _gather_spec(g, subj_node, position="subject")
+
+    poms: list[tuple] = []
+    for cls in _all(g, subj_node, "class"):
+        poms.append((M.TermMap(M.CONSTANT, RDF_TYPE, M.IRI),
+                     M.TermMap(M.CONSTANT, cls[1], M.IRI), None, None))
+    for pom in _all(g, tm, "predicateObjectMap"):
+        predicates = _shortcut_or_map(g, pom, ["predicateMap"],
+                                      ["predicate"], M.IRI, "predicate")
+        objects: list[tuple] = []
+        for om in _all(g, pom, "objectMap"):
+            if _first(g, om, "gather") is not None or \
+                    _first(g, om, "parentTriplesMap") is not None:
+                raise ValueError(
+                    "object-side gather/join inside a subject-gather "
+                    "triples map is not supported")
+            datatype, language = _lang_datatype(g, om)
+            default_tt = (M.LITERAL if datatype is not None
+                          or language is not None else M.IRI)
+            objects.append((_term_map(g, om, default_tt, "object"),
+                            datatype, language))
+        for const in _all(g, pom, "object"):
+            if const[0] == "iri":
+                objects.append((M.TermMap(M.CONSTANT, const[1], M.IRI),
+                                None, None))
+            else:
+                objects.append((M.TermMap(M.CONSTANT, const[1], M.LITERAL),
+                                None, None))
+        for p in predicates:
+            for (o, dt, lang) in objects:
+                poms.append((p, o, dt, lang))
+
+    # placeholder subject/predicate: the compiler routes on gather.position
+    placeholder = M.TermMap(M.CONSTANT, "urn:x-internal:subject-gather", M.IRI)
+    return M.Rule(source=source, subject=spec.head or placeholder,
+                  predicate=placeholder, gather=spec, gather_poms=tuple(poms),
+                  triples_map_id=tm_id, base_iri=g.base)
 
 
 # allowed explicit termtypes per position (reference _validate_termtypes,
@@ -391,6 +442,15 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
     for tm in tms:
         source = _source_for(g, tm, base_dir)
         subj_node = _first(g, tm, "subjectMap")
+
+        # RML-CC collection/container in SUBJECT position (reference
+        # materializer.py:454-892): rml:gather on the subjectMap — one
+        # rule per TM carrying the gather spec + every POM pair, since
+        # the chain triples must be emitted once, not once per POM
+        if subj_node is not None and _first(g, subj_node, "gather") is not None:
+            raw[tm].append((_subject_gather_rule(
+                g, tm, subj_node, source, tm_index[tm]), None, None))
+            continue
 
         quoted_subj = _quoted_spec(subj_node)
         if quoted_subj is not None:

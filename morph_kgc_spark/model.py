@@ -128,11 +128,14 @@ class Source:
 
 @dataclass(frozen=True)
 class GatherSpec:
-    """RML-CC collection/container gather in object position.
+    """RML-CC collection/container gather (object OR subject position).
 
-    ``head`` present → named collection (the object map's own
+    ``head`` present → named collection (the gathering term map's own
     template/constant is the collection node); absent → unnamed (a fresh
-    deterministic bnode per group).
+    deterministic bnode per group). ``position == "subject"`` puts the
+    collection node in subject position (reference
+    materializer.py:454-892); the owning Rule then carries the triples
+    map's predicate-object pairs in ``Rule.gather_poms``.
     """
 
     references: tuple          # gather value columns (≥2 → melt)
@@ -142,6 +145,7 @@ class GatherSpec:
     head: Optional[TermMap] = None
     strategy: str = "append"   # rml:append (only materialized strategy)
     allow_empty: bool = False
+    position: str = "object"   # "object" | "subject"
 
 
 @dataclass(frozen=True)
@@ -170,8 +174,14 @@ class Rule:
     # reference keeps them separate too: subject_join_conditions column)
     subject_join_conditions: tuple[JoinCondition, ...] = ()
 
-    # RML-CC gather (object position)
+    # RML-CC gather (object position, or subject position when
+    # gather.position == "subject")
     gather: Optional[GatherSpec] = None
+    # subject-position gather only: the TM's predicate-object pairs,
+    # ((predicate TermMap, object TermMap, datatype TM|None,
+    #   language TM|None), ...) — all emitted with the collection node
+    # as subject (reference materializer.py:470-480, 893-905)
+    gather_poms: tuple = ()
 
     triples_map_id: str = ""
     mapping_partition: str = ""
@@ -208,6 +218,10 @@ class Rule:
             refs.extend(self.gather.references)
             if self.gather.head is not None:
                 refs.extend(self.gather.head.references)
+        for pom in self.gather_poms:
+            for tm in pom:
+                if tm is not None:
+                    refs.extend(tm.references)
         if self.quoted_subject is not None and not self.subject_join_conditions:
             # shared-source quoted subject reads from child rows; with a
             # join its refs come from the joined-in parent side

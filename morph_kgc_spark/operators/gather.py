@@ -177,6 +177,123 @@ def gather_triples(df: DataFrame,
     raise ValueError(f"unknown gatherAs: {gather_as!r}")
 
 
+def gather_triples_per_row(df: DataFrame,
+                           vals_col: Column,
+                           gather_as: str,
+                           head_col: Optional[Column] = None,
+                           subject_col: Optional[Column] = None,
+                           predicate_iri: Optional[str] = None,
+                           poms: tuple = (),
+                           value_termtype: str = M.LITERAL,
+                           value_datatype: Optional[str] = None,
+                           allow_empty: bool = False) -> DataFrame:
+    """Per-ROW gather: each source row owns one collection/container.
+
+    This is the document semantics of the reference's RML-CC materializer
+    (materializer.py:237-892): a JSON row whose gather reference is an
+    array yields ONE collection per row, members in document order.
+    ``vals_col`` is that array column (already null-filtered/ordered by
+    the caller), so everything here is per-row array lambdas + one
+    posexplode — ZERO shuffle, and list order is source order (an
+    explode→groupBy plan cannot guarantee either).
+
+    - object position: pass ``subject_col`` + ``predicate_iri`` — emits
+      (subject, predicate, head|nil) plus the chain/container triples;
+    - subject position (reference materializer.py:454-892): pass
+      ``poms`` = ((pred_lex_col, obj_lex_col), ...) — the collection
+      node is the subject of each pom triple; no head triple.
+
+    ``head_col`` None → unnamed: a deterministic fresh bnode per row
+    (md5 of the full row content; rows are deduplicated upstream so the
+    label is unique — and stable across task retries/resume, unlike
+    monotonically_increasing_id).
+
+    Empty gathers (all values null / empty array): the row is DROPPED
+    unless ``allow_empty`` — then rdf:List yields object rdf:nil
+    (object position only) and containers keep the head + rdf:type
+    triple with no members (RMLTC-CC-0003-E* expected outputs).
+    """
+    base = df.select(
+        (subject_col if subject_col is not None else F.lit(None)).alias("__subj"),
+        (head_col if head_col is not None else F.lit(None)).alias("__head"),
+        F.filter(vals_col, lambda v: v.isNotNull()).alias("vals"),
+        *[c.alias(f"__pom_{i}_{j}") for i, (p, o) in enumerate(poms)
+          for j, c in enumerate((p, o))],
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns]))).alias("__rk"),
+    )
+    n = F.size("vals")
+    empty = F.coalesce(n, F.lit(0)) == 0
+    if not allow_empty or gather_as == RDF_LIST:
+        # empty LIST rows survive only to emit `subject pred rdf:nil`
+        # in object position; containers drop entirely when not allowed
+        non_empty = base.where(~empty)
+    else:
+        non_empty = base
+    if not allow_empty:
+        base = base.where(~empty)
+
+    named = F.col("__head").isNotNull()
+    head_node = F.when(named, F.col("__head")) \
+                 .otherwise(F.concat(F.lit("_:g"), F.col("__rk")))
+    terms = F.transform(
+        F.col("vals"), lambda v: _value_term(v, value_termtype, value_datatype))
+
+    parts: list[DataFrame] = []
+
+    if gather_as == RDF_LIST:
+        obj_head = F.when(empty, F.lit(RDF_NIL)).otherwise(head_node)
+        if subject_col is not None:
+            parts.append(base.select(
+                F.col("__subj").alias("subject"),
+                F.lit(f"<{predicate_iri}>").alias("predicate"),
+                obj_head.alias("object")))
+        chain = non_empty.where(~empty).select(
+            head_node.alias("__h"), F.col("__rk"), F.size("vals").alias("__n"),
+            *[F.col(c) for c in non_empty.columns if c.startswith("__pom_")],
+            F.posexplode(terms).alias("i", "term"))
+        node_i = F.when(F.col("i") == 0, F.col("__h")) \
+                  .otherwise(F.concat(F.lit("_:g"), F.col("__rk"), F.lit("_"), F.col("i")))
+        node_next = F.when(F.col("i") == F.col("__n") - 1, F.lit(RDF_NIL)) \
+                     .otherwise(F.concat(F.lit("_:g"), F.col("__rk"), F.lit("_"), F.col("i") + 1))
+        parts.append(chain.select(node_i.alias("subject"),
+                                  F.lit(RDF_FIRST).alias("predicate"),
+                                  F.col("term").alias("object")))
+        parts.append(chain.select(node_i.alias("subject"),
+                                  F.lit(RDF_REST).alias("predicate"),
+                                  node_next.alias("object")))
+        pom_base = non_empty.where(~empty)
+    elif gather_as in (RDF_BAG, RDF_SEQ, RDF_ALT):
+        if subject_col is not None:
+            parts.append(non_empty.select(
+                F.col("__subj").alias("subject"),
+                F.lit(f"<{predicate_iri}>").alias("predicate"),
+                head_node.alias("object")))
+        parts.append(non_empty.select(
+            head_node.alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.lit(f"<{gather_as}>").alias("object")))
+        members = non_empty.select(
+            head_node.alias("__h"), F.posexplode(terms).alias("i", "term"))
+        parts.append(members.select(
+            F.col("__h").alias("subject"),
+            F.concat(F.lit(f"<{RDF}_"), F.col("i") + 1, F.lit(">")).alias("predicate"),
+            F.col("term").alias("object")))
+        pom_base = non_empty
+    else:
+        raise ValueError(f"unknown gatherAs: {gather_as!r}")
+
+    for i, _ in enumerate(poms):
+        parts.append(pom_base.select(
+            head_node.alias("subject"),
+            F.col(f"__pom_{i}_0").alias("predicate"),
+            F.col(f"__pom_{i}_1").alias("object")))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 _INTERNAL_HEAD = "urn:x-internal:gather-head"
 
 

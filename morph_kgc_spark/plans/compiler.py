@@ -388,34 +388,118 @@ def _compile_gather_rule(spark: SparkSession, rule: M.Rule,
                          na_values: Iterable[str]) -> DataFrame:
     """RML-CC gather rule → collection/container triples.
 
-    Null handling differs from plain rules: rows with null *gather*
+    Hierarchical (JSON) sources load with arrays PRESERVED
+    (flatten="structs"): the gather operator then runs per-row array
+    lambdas — zero shuffle, rdf:List order = document order (reference
+    materializer.py:237-892 iterates the exploded frame in document
+    order; an explode→groupBy plan loses it). Scalar gather refs
+    (tabular sources) keep the grouped cross-row path, value-sorted.
+
+    Null handling differs from plain rules: rows with null/empty *gather*
     values stay (they determine empty collections when
-    allowEmptyListAndContainer), only null subject refs drop.
+    allowEmptyListAndContainer), only null subject/head refs drop.
     """
-    from morph_kgc_spark.operators.gather import gather_triples
+    from pyspark.sql.types import ArrayType
+
+    from morph_kgc_spark.operators.gather import (
+        gather_triples,
+        gather_triples_per_row,
+    )
 
     g = rule.gather
-    subject_refs = rule.subject.references + (
-        g.head.references if g.head is not None else [])
-    all_refs = list(dict.fromkeys(subject_refs + list(g.references)))
-    base = prepare_source(load_source(spark, rule.source), all_refs,
-                          na_values=na_values, dedup=True,
-                          drop_null_subset=subject_refs)
+    src = rule.source
+    if src.kind == "json":
+        src = M.Source(src.kind, src.value,
+                       {**src.options, "flatten": "structs"})
+    df = load_source(spark, src)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
 
-    if rule.predicate.kind != M.CONSTANT:
-        raise ValueError("gather rules need a constant predicate map")
+    subject_position = g.position == "subject"
+    head_refs = g.head.references if g.head is not None else []
+    if subject_position:
+        scalar_refs = list(head_refs)
+        for pom in rule.gather_poms:
+            for tm in pom:
+                if tm is not None:
+                    scalar_refs.extend(tm.references)
+        required = head_refs
+    else:
+        scalar_refs = rule.subject.references + list(head_refs)
+        required = scalar_refs
+        if rule.predicate.kind != M.CONSTANT:
+            raise ValueError("gather rules need a constant predicate map")
+    scalar_refs = list(dict.fromkeys(scalar_refs))
 
-    return gather_triples(
-        base,
-        subject_col=compile_term(rule.subject),
+    any_array = any(isinstance(dtypes.get(r), ArrayType)
+                    for r in g.references)
+    if not any_array and not subject_position:
+        # tabular source: cross-row grouped gather (legacy reference
+        # behavior for scalar refs — consecutive rows share a collection)
+        all_refs = list(dict.fromkeys(scalar_refs + list(g.references)))
+        base = prepare_source(df, all_refs, na_values=na_values, dedup=True,
+                              drop_null_subset=scalar_refs)
+        return gather_triples(
+            base,
+            subject_col=compile_term(rule.subject),
+            predicate_iri=rule.predicate.value,
+            gather_refs=list(g.references),
+            gather_as=g.gather_as,
+            value_termtype=g.value_termtype,
+            value_datatype=g.value_datatype,
+            head_col=compile_term(g.head) if g.head is not None else None,
+            allow_empty=g.allow_empty,
+        )
+
+    def _na(c: Column) -> Column:
+        c = c.cast("string")
+        for na in na_values:
+            c = F.when(c == F.lit(na), F.lit(None)).otherwise(c)
+        return c
+
+    sel = [_na(_ref_col(r) if r in dtypes else F.lit(None)).alias(r)
+           for r in scalar_refs]
+    gv_cols = []
+    for i, ref in enumerate(g.references):
+        t = dtypes.get(ref)
+        col = _ref_col(ref) if ref in dtypes else F.lit(None).cast("string")
+        arr = (F.transform(col, _na) if isinstance(t, ArrayType)
+               else F.array(_na(col)))
+        name = f"__gv{i}"
+        gv_cols.append(name)
+        sel.append(F.coalesce(
+            F.filter(arr, lambda v: v.isNotNull()),
+            F.array().cast("array<string>")).alias(name))
+    base = df.select(*sel)
+    for r in required:
+        base = base.where(_ref_col(r).isNotNull())
+    base = base.dropDuplicates()
+
+    if len(gv_cols) > 1:
+        # multi-reference melt semantics: union of values, dedup,
+        # value-sorted (reference materializer.py:243-255)
+        vals = F.array_sort(F.array_distinct(
+            F.concat(*[F.col(c) for c in gv_cols])))
+    else:
+        # single reference: document order, duplicate values collapse
+        # (the reference's preprocess drop_duplicates on (key, value))
+        vals = F.array_distinct(F.col(gv_cols[0]))
+
+    head_col = compile_term(g.head) if g.head is not None else None
+    if subject_position:
+        poms = tuple(
+            (compile_term(p, base_iri=rule.base_iri),
+             _object_column(rule.but(object=o, datatype=dt, language=lang)))
+            for (p, o, dt, lang) in rule.gather_poms)
+        return gather_triples_per_row(
+            base, vals, g.gather_as, head_col=head_col, poms=poms,
+            value_termtype=g.value_termtype, value_datatype=g.value_datatype,
+            allow_empty=g.allow_empty)
+    return gather_triples_per_row(
+        base, vals, g.gather_as, head_col=head_col,
+        subject_col=compile_term(rule.subject, base_iri=rule.base_iri),
         predicate_iri=rule.predicate.value,
-        gather_refs=list(g.references),
-        gather_as=g.gather_as,
-        value_termtype=g.value_termtype,
-        value_datatype=g.value_datatype,
-        head_col=compile_term(g.head) if g.head is not None else None,
-        allow_empty=g.allow_empty,
-    )
+        value_termtype=g.value_termtype, value_datatype=g.value_datatype,
+        allow_empty=g.allow_empty)
 
 
 def _quoted_triple_col(sub_rule: M.Rule, col_prefix: str = "") -> Column:

@@ -69,11 +69,19 @@ def apply_iterator(df: DataFrame, iterator: str) -> DataFrame:
     return cur
 
 
-def flatten_rows(df: DataFrame, sep: str = ".") -> DataFrame:
+def flatten_rows(df: DataFrame, sep: str = ".",
+                 explode_arrays: bool = True) -> DataFrame:
     """Cartesian-flatten: structs → dotted columns, arrays → explode_outer.
 
     Fixpoint loop — nested arrays multiply rows exactly like the
     reference's ``normalize_hierarchical_data`` product semantics.
+
+    ``explode_arrays=False`` (RML-CC gather rules): structs still flatten
+    to dotted columns but array columns stay ARRAYS, preserving document
+    order per row — the gather operator then builds collection triples
+    with per-row array lambdas instead of explode + re-group (zero
+    shuffle, and rdf:List order is the source order, which an exploded
+    DataFrame cannot guarantee).
     """
     while True:
         changed = False
@@ -84,7 +92,7 @@ def flatten_rows(df: DataFrame, sep: str = ".") -> DataFrame:
                     cols.append(F.col(f"`{field.name}`.`{sub.name}`")
                                 .alias(f"{field.name}{sep}{sub.name}"))
                 changed = True
-            elif isinstance(field.dataType, ArrayType):
+            elif isinstance(field.dataType, ArrayType) and explode_arrays:
                 cols.append(F.explode_outer(F.col(f"`{field.name}`")).alias(field.name))
                 changed = True
             else:
@@ -95,9 +103,13 @@ def flatten_rows(df: DataFrame, sep: str = ".") -> DataFrame:
 
 
 def json_source(spark: SparkSession, path: str, iterator: str = "$.*",
-                multi_line: bool = True, flatten: bool = True) -> DataFrame:
+                multi_line: bool = True, flatten: bool | str = True) -> DataFrame:
+    """``flatten`` may be True (full cartesian flatten), False (raw), or
+    ``"structs"`` (structs flatten, arrays preserved — gather rules)."""
     df = spark.read.option("multiLine", str(multi_line).lower()).json(path)
     df = apply_iterator(df, iterator)
+    if flatten == "structs":
+        return flatten_rows(df, explode_arrays=False)
     return flatten_rows(df) if flatten else df
 
 

@@ -217,7 +217,15 @@ def _pandas_fallback(spark: SparkSession, path: str, opts: dict) -> DataFrame:
     reader = readers.get(fmt)
     if reader is None:
         raise ValueError(f"unsupported pandas fallback format: {fmt!r}")
-    return spark.createDataFrame(reader(path, **opts.get("reader_kwargs", {})))
+    try:
+        pdf = reader(path, **opts.get("reader_kwargs", {}))
+    except ImportError:
+        # pandas' excel engines (openpyxl/odfpy) are optional deps; both
+        # formats are zip+XML, covered by the stdlib readers in sheets.py
+        from morph_kgc_spark.sources.sheets import read_ods, read_xlsx
+
+        pdf = read_ods(path) if fmt == "ods" else read_xlsx(path)
+    return spark.createDataFrame(pdf)
 
 
 def default_registry(persist_sources: bool = False) -> SourceRegistry:
