@@ -315,8 +315,9 @@ def q_kg_xml_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
             f'<region key="{r.r_regionkey}"><info><name>'
             f"{escape(r.r_name)}</name></info></region>")
     parts.append("</regions>")
-    xml_path = tempfile.mktemp(suffix=".xml", prefix="kg_xml_xpath_")
-    with open(xml_path, "w", encoding="utf-8") as f:
+    fd, xml_path = tempfile.mkstemp(suffix=".xml", prefix="kg_xml_xpath_")
+    import os as _os
+    with _os.fdopen(fd, "w", encoding="utf-8") as f:
         f.write("".join(parts))
 
     ttl = f"""

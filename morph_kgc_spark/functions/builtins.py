@@ -127,17 +127,74 @@ _EVAL_LOCALS = {
 }
 
 
+def _safe_eval_bool(v: str):
+    """AST-whitelisted evaluation of a condition cell — literals,
+    boolean-name constants, comparisons, and/or/not, unary ± and
+    numeric +-*/%. The reference eval()s the cell outright
+    (built_in_functions.py:159-168); a raw eval (even with builtins
+    stripped) lets a crafted DATA VALUE execute python on executors
+    (dunder-walk escapes), so anything outside the whitelist → null
+    (false branch), where the reference would raise."""
+    import ast
+    import operator as op
+
+    _BIN = {ast.Add: op.add, ast.Sub: op.sub, ast.Mult: op.mul,
+            ast.Div: op.truediv, ast.Mod: op.mod,
+            ast.FloorDiv: op.floordiv, ast.Pow: op.pow}
+    _CMP = {ast.Eq: op.eq, ast.NotEq: op.ne, ast.Lt: op.lt,
+            ast.LtE: op.le, ast.Gt: op.gt, ast.GtE: op.ge,
+            ast.In: lambda a, b: a in b,
+            ast.NotIn: lambda a, b: a not in b}
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant):
+            if isinstance(node.value, (bool, int, float, str)) \
+                    or node.value is None:
+                return node.value
+        elif isinstance(node, ast.Name):
+            if node.id in _EVAL_LOCALS:
+                return _EVAL_LOCALS[node.id]
+        elif isinstance(node, ast.BoolOp):
+            vals = [ev(x) for x in node.values]
+            return (all if isinstance(node.op, ast.And) else any)(vals)
+        elif isinstance(node, ast.UnaryOp):
+            if isinstance(node.op, ast.Not):
+                return not ev(node.operand)
+            if isinstance(node.op, ast.USub):
+                return -ev(node.operand)
+            if isinstance(node.op, ast.UAdd):
+                return +ev(node.operand)
+        elif isinstance(node, ast.Compare):
+            left = ev(node.left)
+            for o, cmp_ in zip(node.ops, node.comparators):
+                if type(o) not in _CMP:
+                    raise ValueError("unsupported comparison operator")
+                right = ev(cmp_)
+                if not _CMP[type(o)](left, right):
+                    return False
+                left = right
+            return True
+        elif isinstance(node, ast.BinOp) and type(node.op) in _BIN:
+            return _BIN[type(node.op)](ev(node.left), ev(node.right))
+        raise ValueError(f"disallowed expression node {type(node).__name__}")
+
+    tree = ast.parse(v, mode="eval")
+    return bool(ev(tree))
+
+
 @pandas_udf(BooleanType())
 def _eval_bool_udf(s: pd.Series) -> pd.Series:
     """Arrow-batched python-expression evaluation of condition cells
-    (reference controls_if evals the cell, built_in_functions.py:159-168).
-    Builtins are stripped; evaluation errors → null (false branch),
+    (reference controls_if evals the cell, built_in_functions.py:159-168)
+    through the AST whitelist; evaluation errors → null (false branch),
     where the reference would raise."""
     def one(v):
         if v is None:
             return None
         try:
-            return bool(eval(v, {"__builtins__": {}}, dict(_EVAL_LOCALS)))
+            return _safe_eval_bool(v)
         except Exception:
             return None
     return s.map(one)
@@ -337,14 +394,6 @@ def apply_function(fun_id: str, **kwargs) -> tuple[Column, bool]:
     return fn(**kwargs), getattr(fn, "explodes", False)
 
 
-def load_udfs(path: str) -> None:
-    """Load a user plug-in file that uses the @udf decorator (mirror of
-    fnml_executer.py:14-41's exec-based loading)."""
-    scope = {"udf": udf, "bif": bif, "F": F}
-    with open(path, encoding="utf-8") as f:
-        exec(compile(f.read(), path, "exec"), scope)  # noqa: S102
-
-
 # ---------------------------------------------------------------------------
 # morph-kgc's own builtin namespace (built-in.ttl#) — aliases of the
 # builders above, matching reference built_in_functions.py:185-255
@@ -400,11 +449,19 @@ def _wrap_row_fn(fn, mapped: dict) -> Column:
 
 
 def load_udfs(path: str) -> list[str]:
-    """Load a reference-style UDF file; returns the registered fun_ids.
+    """Load a user UDF file; returns the fun_ids registered via @udf.
 
-    Each declared parameter accepts its kwarg name, the param IRI's local
-    name, or the engine's global alias for it — whichever the mapping
-    parser produced.
+    Two supported protocols in one file (documented surface):
+
+    - ``@udf(fun_id, kwarg=param_iri, ...)`` on a per-ROW python
+      function — the reference's protocol (fnml_executer.py:14-41),
+      wrapped into an Arrow-batched pandas UDF;
+    - ``@bif(fun_id)`` on a Column-builder function (engine-native fast
+      path; ``F`` = pyspark.sql.functions is in scope).
+
+    Each declared @udf parameter accepts its kwarg name, the param IRI's
+    local name, or the engine's global alias for it — whichever the
+    mapping parser produced.
     """
     registered: list[str] = []
 
@@ -434,6 +491,6 @@ def load_udfs(path: str) -> list[str]:
 
     with open(path, encoding="utf-8") as f:
         code = f.read()
-    namespace = {"udf": udf_decl}
+    namespace = {"udf": udf_decl, "bif": bif, "F": F}
     exec(compile(code, path, "exec"), namespace)  # noqa: S102 — reference semantics
     return registered

@@ -391,7 +391,9 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
     outer rule per quoted rule, recursively for nested quoting.
     ``rml:NonAssertedTriplesMap`` rules are only reachable via quoting.
     """
+    doc_uri = None
     if "\n" not in mapping and os.path.exists(mapping):
+        doc_uri = "file://" + os.path.abspath(mapping)
         base_dir = os.path.dirname(os.path.abspath(mapping))
         with open(mapping, encoding="utf-8") as f:
             mapping = f.read()
@@ -414,8 +416,19 @@ def parse_mapping(mapping: str, base_dir: str = ".") -> list[M.Rule]:
 
     # triples-map ids keep the document's own identifiers (IRI / bnode
     # label) so a config can detect one TM mapped in two data sources
-    # (reference validate_mappings, mapping_parser.py:750-758)
-    tm_index = {tm: (tm[1] if tm[1] else f"tm{i}") for i, tm in enumerate(tms)}
+    # (reference validate_mappings, mapping_parser.py:750-758). When the
+    # document came from a FILE, relative/blank identifiers resolve
+    # against the file URI — the reference parses each file with rdflib
+    # under its own file:// base, so `<#TM>` in two unrelated mapping
+    # files never collides across data-source sections.
+    def _tm_id(tm: Term, i: int) -> str:
+        label = tm[1] if tm[1] else f"tm{i}"
+        if doc_uri is not None and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:",
+                                                label):
+            return f"{doc_uri}#{label}"
+        return label
+
+    tm_index = {tm: _tm_id(tm, i) for i, tm in enumerate(tms)}
     # per-TM raw rules: (Rule, quoted_subject_spec, quoted_object_spec)
     raw: dict[Term, list[tuple]] = {tm: [] for tm in tms}
 

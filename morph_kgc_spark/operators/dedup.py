@@ -94,19 +94,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     ])
     # one explode instead of LSH_BANDS unions (which would recompute the
     # signature aggregation per band); persist before the self-join so the
-    # two join sides share one computation of the signatures.
+    # two join sides share one computation of the signatures (aliased
+    # self-join sides do NOT get ReusedExchange — measured), scoped to
+    # this call: the small pair result is materialized eagerly, then the
+    # corpus-sized band cache is released before returning.
     bands = sigs.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     bands = bands.persist()
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b_ = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
-        a.join(b_, on=["band", "bucket"], how="inner")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-    )
+    try:
+        a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b_ = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        return (
+            a.join(b_, on=["band", "bucket"], how="inner")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+    finally:
+        bands.unpersist()
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
@@ -155,6 +162,15 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             f"max_hamming={max_hamming}: pigeonhole needs n_bands >= "
             f"max_hamming + 1 = {max_hamming + 1}")
     sig = simhash(df, id_col, text_col, bits=bits).persist()
+    try:
+        return _simhash_pairs_from_sig(sig, id_col, max_hamming, bits,
+                                       n_bands).localCheckpoint()
+    finally:
+        sig.unpersist()
+
+
+def _simhash_pairs_from_sig(sig: DataFrame, id_col: str, max_hamming: int,
+                            bits: int, n_bands: int) -> DataFrame:
     width = bits // n_bands
     bands = sig.select(
         F.col(id_col),
@@ -209,18 +225,31 @@ def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
     (jaccard desc, id_a, id_b).
     """
     sh = shingles(df, id_col, text_col, n).persist()
+    dfreq = None
+    try:
+        if df_cap is not None:
+            # statistics-driven plan choice: one aggregate over the
+            # persisted shingle table decides whether any posting list
+            # exceeds the cap. No hot shingles → the exhaustive
+            # single-join plan IS the capped plan, without the split's
+            # extra joins. dfreq is persisted so the probe and the
+            # rare/hot splits share one aggregation.
+            dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df")) \
+                      .persist()
+            if dfreq.where(F.col("df") > df_cap).limit(1).count() == 0:
+                df_cap = None
+        return _ngram_topk(sh, dfreq, id_col, k, df_cap).localCheckpoint()
+    finally:
+        sh.unpersist()
+        if dfreq is not None:
+            dfreq.unpersist()
+
+
+def _ngram_topk(sh: DataFrame, dfreq, id_col: str, k: int,
+                df_cap: int | None) -> DataFrame:
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-
-    if df_cap is not None:
-        # statistics-driven plan choice: one cheap aggregate over the
-        # (persisted) shingle table decides whether any posting list
-        # exceeds the cap. No hot shingles → the exhaustive single-join
-        # plan IS the capped plan, without the split's extra joins.
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        if dfreq.where(F.col("df") > df_cap).limit(1).count() == 0:
-            df_cap = None
 
     if df_cap is None:
         inter = (
@@ -291,6 +320,8 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
     At 10^10 nodes this is the standard iterative CC shape (cf.
     large-star/small-star); singletons pass through unjoined.
     """
+    from morph_kgc_spark.operators.cache import release
+
     labels = ids.select(F.col(id_col).alias("node"),
                         F.col(id_col).alias("lbl")).localCheckpoint()
     # undirected: propagate both ways
@@ -299,6 +330,7 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
 
+    prev = labels
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -325,11 +357,20 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
         )
         changed = new_labels.where(F.col("lbl") != F.col("old_lbl")) \
                             .limit(1).count()
+        # the new round is materialized: the previous round's checkpoint
+        # blocks are dead weight — release them (superseded rounds
+        # otherwise accumulate one labels copy per iteration)
+        release(prev)
+        prev = new_labels
         labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col),
-                         F.col("lbl").alias("cluster_id"))
+    # the result projects over the final checkpoint, so only edges die here
+    out = labels.select(F.col("node").alias(id_col),
+                        F.col("lbl").alias("cluster_id")).localCheckpoint()
+    release(edges)
+    release(prev)
+    return out
 
 
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,

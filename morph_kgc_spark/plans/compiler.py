@@ -188,6 +188,11 @@ def compile_term(tm: M.TermMap, *, datatype: Optional[str] = None,
         col = _ref_col(col_prefix + ref)
         if tm.termtype == M.IRI and tm.kind == M.TEMPLATE:
             col = percent_encode_col(col)
+        elif tm.termtype == M.IRI:
+            # plain reference in IRI position: assumed a correct IRI, NOT
+            # percent-encoded, whitespace-trimmed (same treatment as the
+            # FNML IRI path / reference materializer.py:183-186)
+            col = F.trim(col)
         elif tm.termtype == M.LITERAL:
             col = natural_mapping_col(col, datatype)
             col = ntriples_escape_col(col)
@@ -328,8 +333,11 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
                             "parent_" if rule.parent_source is not None else "")):
             if tm is not None and tm.termtype == M.IRI \
                     and tm.kind in (M.REFERENCE, M.EXECUTION):
-                raw = compile_term(tm.but(termtype=""), wrap=False,
-                                   col_prefix=prefix)
+                # trim before testing: the emitted IRI term is trimmed,
+                # so a whitespace-PADDED but otherwise valid value must
+                # survive this data-error filter too
+                raw = F.trim(compile_term(tm.but(termtype=""), wrap=False,
+                                          col_prefix=prefix))
                 base = base.where(~raw.rlike(_INVALID_IRI_CHARS_RE))
 
     # --- term columns ------------------------------------------------------

@@ -26,6 +26,7 @@ Supported kinds:
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,10 +94,26 @@ class SourceRegistry:
             payload = data
         else:
             payload = _json.dumps(data)
-        path = tempfile.mktemp(suffix=".json", prefix=f"pysrc_{name}_")
-        with open(path, "w", encoding="utf-8") as f:
-            f.write(payload)
+        # one temp file per registered source, cached and reused across
+        # materializations (mkstemp: unpredictable name, no create race)
+        self._python_paths = getattr(self, "_python_paths", {})
+        path = self._python_paths.get(name)
+        if path is None or not os.path.exists(path):
+            fd, path = tempfile.mkstemp(suffix=".json",
+                                        prefix=f"pysrc_{name}_")
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(payload)
+            self._python_paths[name] = path
         return json_source(spark, path, iterator=opts.get("iterator", "$.*"))
+
+    def close(self) -> None:
+        """Remove temp files written for python sources."""
+        for path in getattr(self, "_python_paths", {}).values():
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        self._python_paths = {}
 
     def __call__(self, spark: SparkSession, source: M.Source) -> DataFrame:
         key = source.cache_key()

@@ -111,10 +111,21 @@ def test_xml_scan_is_distributed(spark, tmp_path):
 
 
 def test_ngram_adaptive_plan_no_python(spark):
-    """The hardened ngram plan stays JVM-side end to end."""
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
-    from morph_kgc_spark.operators.dedup import ngram_jaccard_topk
+    """The hardened ngram plan stays JVM-side end to end.
 
-    plan = _executed_plan(ngram_jaccard_topk(docs, "doc_id", "text"))
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "CartesianProduct" not in plan
+    The public function returns an eagerly-materialized result (cache
+    hygiene), so the plan is inspected through the internal composition
+    it executes — both the exhaustive and the rare/hot-capped branches.
+    """
+    from pyspark.sql import functions as F
+
+    from morph_kgc_spark.operators.dedup import _ngram_topk, shingles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = shingles(docs, "doc_id", "text", 3)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    for plan_df in (_ngram_topk(sh, None, "doc_id", 10, None),
+                    _ngram_topk(sh, dfreq, "doc_id", 10, 1000)):
+        plan = _executed_plan(plan_df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan

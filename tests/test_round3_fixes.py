@@ -1,0 +1,119 @@
+"""Round-3 ADVICE regressions: TM-id namespacing, safe controls_if eval,
+whitespace-padded IRI references, dual-protocol UDF files."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from morph_kgc_spark import materialize, materialize_from_config
+from morph_kgc_spark.mapping import parse_any_mapping as parse_mapping
+
+EX = "http://example.com/"
+
+
+def test_same_local_tm_name_in_two_files_is_fine(spark, tmp_path):
+    """Two unrelated mapping files may both use <#TM>: ids resolve
+    against each file's URI (reference parses per-file with rdflib under
+    a file:// base), so the cross-section duplicate check must not fire."""
+    csv = tmp_path / "d.csv"
+    csv.write_text("ID\n1\n")
+    bodies = []
+    for name, pred in (("m1.ttl", "id"), ("m2.ttl", "key")):
+        p = tmp_path / name
+        p.write_text(f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+<#TM> rml:logicalSource [ rml:source "{csv}" ] ;
+  rr:subjectMap [ rr:template "{EX}s/{{ID}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicate <{EX}{pred}> ; rr:objectMap [ rml:reference "ID" ] ] .
+""")
+        bodies.append(p)
+    ini = f"[DS1]\nmappings={bodies[0]}\n[DS2]\nmappings={bodies[1]}\n"
+    out = materialize_from_config(spark, ini)
+    assert out.count() == 2
+
+
+def test_tm_ids_namespaced_per_document(tmp_path):
+    csv = tmp_path / "d.csv"
+    csv.write_text("ID\n1\n")
+    p = tmp_path / "m.ttl"
+    p.write_text(f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+<#TM> rml:logicalSource [ rml:source "{csv}" ] ;
+  rr:subjectMap [ rr:template "{EX}s/{{ID}}" ] ;
+  rr:predicateObjectMap [
+    rr:predicate <{EX}id> ; rr:objectMap [ rml:reference "ID" ] ] .
+""")
+    rules = parse_mapping(str(p))
+    assert rules[0].triples_map_id == f"file://{p}##TM"
+
+
+def test_controls_if_eval_is_sandboxed(spark):
+    """A crafted data cell must not execute python on executors — the
+    dunder-walk eval escape evaluates to null (false branch), while
+    plain comparisons still work (reference eval semantics)."""
+    from morph_kgc_spark.functions.builtins import apply_function
+
+    GREL = "http://users.ugent.be/~bjdmeest/function/grel.ttl#"
+    df = spark.createDataFrame(
+        [("1 > 2",), ("3 > 2",), ("().__class__.__mro__[-1].__subclasses__()",),
+         ("__import__('os').system('true')",), ("1 + 1 == 2",)],
+        ["cond"])
+    col, _ = apply_function(GREL + "controls_if",
+                            bool_expression=F.col("cond"),
+                            value_true=F.lit("T"), value_false=F.lit("F"))
+    got = [r.v for r in df.select(col.alias("v")).collect()]
+    assert got == ["F", "T", "F", "F", "T"]
+
+
+def test_safe_eval_rejects_all_call_shapes():
+    from morph_kgc_spark.functions.builtins import _safe_eval_bool
+
+    assert _safe_eval_bool("2 >= 2 > 1") is True
+    assert _safe_eval_bool("not false") is True
+    assert _safe_eval_bool("1 + 1 > 3") is False
+    for evil in ("open('/etc/passwd')",
+                 "().__class__.__mro__[-1].__subclasses__()",
+                 "[x for x in (1,)]", "(lambda: 1)()", "'a'.join('b')"):
+        with pytest.raises(Exception):
+            _safe_eval_bool(evil)
+
+
+def test_whitespace_padded_iri_reference_survives(spark):
+    """A reference-valued IRI with only leading/trailing whitespace is
+    trimmed and emitted, not dropped by the invalid-IRI data filter."""
+    from morph_kgc_spark import model as M
+    from morph_kgc_spark.sources.registry import default_registry
+
+    rule = M.Rule(
+        source=M.Source("df", "mem"),
+        subject=M.TermMap(M.TEMPLATE, EX + "s/{ID}", M.IRI),
+        predicate=M.TermMap(M.CONSTANT, EX + "link", M.IRI),
+        object=M.TermMap(M.REFERENCE, "URL", M.IRI),
+        base_iri=EX,
+    )
+    reg = default_registry()
+    reg.register("mem", spark.createDataFrame(
+        [("1", f"  {EX}ok  "), ("2", f"{EX}bad value"), ("3", f"{EX}plain")],
+        ["ID", "URL"]))
+    out = materialize(spark, [rule], registry=reg)
+    objs = sorted(r.object for r in out.collect())
+    # row 2 has an INTERNAL space → still a data error, dropped
+    assert objs == [f"<{EX}ok>", f"<{EX}plain>"]
+
+
+def test_load_udfs_supports_bif_protocol(tmp_path):
+    from morph_kgc_spark.functions.builtins import apply_function, load_udfs
+
+    p = tmp_path / "udf.py"
+    p.write_text(
+        "@bif('http://example.com/fn/upper')\n"
+        "def my_upper(string):\n"
+        "    return F.upper(string)\n")
+    load_udfs(str(p))
+    col, explodes = apply_function("http://example.com/fn/upper",
+                                   string=F.lit("ab"))
+    assert not explodes
