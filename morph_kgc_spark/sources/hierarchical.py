@@ -125,7 +125,13 @@ def xpath_row_tag(iterator: str) -> str:
     absolute/descendant paths RML test cases use (``/students/student``,
     ``//student``, ``students/student``) as long as the tag name is not
     reused at other depths — the common case for data documents.
-    Predicates/functions in steps are rejected explicitly.
+    Supported-surface DECISION (round 3): predicates/functions
+    (``student[1]``, ``student[@id='x']``) are rejected explicitly, not
+    implemented. The reference evaluates full XPath 3.0 driver-side via
+    elementpath (data_file.py:188-253), which cannot be pushed into a
+    distributed rowTag scan; no case in the reference's own 386-case
+    test tree uses them, so the loud error is the honest boundary
+    (tests/test_sources.py pins it).
     """
     steps = [s for s in iterator.strip().split("/") if s not in ("", "*")]
     if not steps:
