@@ -214,9 +214,21 @@ def _object_term(spec: Any) -> dict:
     kw: dict = {}
     termtype = _TERMTYPES.get(spec.get("type", ""), None)
     if "language" in spec:
-        kw["language"] = M.TermMap(M.CONSTANT, spec["language"], M.LITERAL)
+        # dynamic tags ($(ref)~lang) become language MAPS — reference
+        # yarrrml_parser language handling (json/complex mapping.yaml
+        # uses $(language.code)~lang)
+        lang = spec["language"]
+        if "$(" in str(lang):
+            kw["language"] = _template_to_term(lang, M.LITERAL) \
+                .but(termtype=M.LITERAL)
+        else:
+            kw["language"] = M.TermMap(M.CONSTANT, lang, M.LITERAL)
     elif "datatype" in spec:
-        kw["datatype"] = M.TermMap(M.CONSTANT, spec["datatype"], M.IRI)
+        dt = spec["datatype"]
+        if "$(" in str(dt):
+            kw["datatype"] = _template_to_term(dt, M.IRI).but(termtype=M.IRI)
+        else:
+            kw["datatype"] = M.TermMap(M.CONSTANT, dt, M.IRI)
     if "function" in spec:
         kw["object"] = _function_term(spec, termtype or M.LITERAL)
         return kw

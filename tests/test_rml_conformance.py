@@ -76,6 +76,11 @@ def _cases():
             if os.path.isdir(full) and \
                     os.path.exists(os.path.join(full, "mapping.ttl")):
                 out.append((f"{family}/{d}", full))
+                if os.path.exists(os.path.join(full, "mapping.yaml")):
+                    # YARRRML twin shipped alongside the Turtle mapping
+                    # (json/complex): same expected output, parsed through
+                    # the YARRRML front-end
+                    out.append((f"{family}/{d}#yarrrml", full))
     return out
 
 
@@ -256,7 +261,7 @@ def _extract_python_source(case_dir: str):
     return None
 
 
-def _materialize(spark, case_dir: str):
+def _materialize(spark, case_dir: str, yarrrml: bool = False):
     if "rml-in-memory" in case_dir:
         data = _extract_python_source(case_dir)
         if data is None:
@@ -284,7 +289,8 @@ def _materialize(spark, case_dir: str):
                f"db_url=sqlite:///{db_file}\n")
         df = mks.materialize_from_config(spark, ini)
         return df, df.collect()
-    with open(os.path.join(case_dir, "mapping.ttl")) as f:
+    mapping_file = "mapping.yaml" if yarrrml else "mapping.ttl"
+    with open(os.path.join(case_dir, mapping_file)) as f:
         text = f.read()
     try:
         rules = parse_any_mapping(text, base_dir=REF)
@@ -302,15 +308,16 @@ def _materialize(spark, case_dir: str):
 def test_rml_conformance(spark, name, case_dir):
     if name in XFAIL:
         pytest.xfail(XFAIL[name])
+    yarrrml = name.endswith("#yarrrml")
     expected = _read_expected(case_dir)
     if _expects_error(case_dir, expected):
         try:
-            _, rows = _materialize(spark, case_dir)
+            _, rows = _materialize(spark, case_dir, yarrrml)
         except Exception:
             return  # engine rejected the invalid mapping: pass
         assert rows == [], f"{name}: expected error/empty, got {len(rows)} rows"
         return
-    df, rows = _materialize(spark, case_dir)
+    df, rows = _materialize(spark, case_dir, yarrrml)
     ours = []
     for r in rows:
         parts = [r.subject, r.predicate, r.object]
