@@ -337,6 +337,44 @@ def q_kg_xml_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(spark, ttl)
 
 
+def q_kg_gather_subject_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RML-CC collection in SUBJECT position (reference
+    materializer.py:454-892): regions round-tripped through a JSON
+    document whose per-row `nations` ARRAY stays unexploded — the gather
+    compiles to per-row array lambdas (zero shuffle) and the subject
+    template heads the rdf:Seq plus a constant predicate-object pair."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").collect()
+    by_region: dict[int, list[str]] = {}
+    for n in nat:
+        by_region.setdefault(int(n.n_regionkey), []).append(n.n_name)
+    docs = [{"region": r.r_name,
+             "nations": sorted(by_region.get(int(r.r_regionkey), []))}
+            for r in sorted(reg, key=lambda r: r.r_regionkey)
+            if by_region.get(int(r.r_regionkey))]
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="kg_gather_sm_")
+    with _os.fdopen(fd, "w", encoding="utf-8") as f:
+        _json.dump(docs, f)
+
+    ttl = f"""
+@prefix rml: <http://w3id.org/rml/>.
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>.
+@prefix ex: <{EX}>.
+<#TM> a rml:TriplesMap;
+  rml:logicalSource [ rml:source "{path}" ;
+      rml:referenceFormulation rml:JSONPath ; rml:iterator "$.*" ] ;
+  rml:subjectMap [ rml:template "{EX}region/{{region}}" ;
+      rml:gather ( [ rml:reference "nations" ] ) ;
+      rml:gatherAs rdf:Seq ] ;
+  rml:predicateObjectMap [ rml:predicate ex:source ; rml:object "tpch" ] .
+"""
+    return materialize(spark, ttl)
+
+
 def q_kg_fnml_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FNML surface: execution in predicate position + nested (composed)
     execution in object position (RMLFNOTC0004 shape; reference
@@ -603,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdf_star_ttl": q_kg_rdf_star_ttl,
         "kg_yarrrml_doc": q_kg_yarrrml_doc,
         "kg_xml_xpath": q_kg_xml_xpath,
+        "kg_gather_subject_seq": q_kg_gather_subject_seq,
         "kg_fnml_composed": q_kg_fnml_composed,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
@@ -643,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdf_star_ttl": oracles.kg_rdf_star_ttl(),
         "kg_yarrrml_doc": oracles.kg_yarrrml_doc(),
         "kg_xml_xpath": oracles.kg_xml_xpath(),
+        "kg_gather_subject_seq": oracles.kg_gather_subject_seq(),
         "kg_fnml_composed": oracles.kg_fnml_composed(),
         "ann_ivf_topk": oracles.ann_ivf_topk(),
         "dedup_exact": oracles.dedup_exact(),

@@ -518,6 +518,34 @@ SELECT DISTINCT subject, predicate, object FROM (
 """
 
 
+def kg_gather_subject_seq() -> str:
+    """RML-CC SUBJECT-position gather twin: each region is the head of an
+    rdf:Seq of its nation names (document order = sorted names in the
+    generated JSON), plus one constant predicate-object pair. The oracle
+    re-derives membership indexes with ROW_NUMBER over the same order."""
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    subj = f"'<{EX}region/' || replace(r_name, ' ', '%20') || '>'"
+    return f"""
+WITH m AS (
+  SELECT r.r_name,
+         n.n_name AS nation,
+         ROW_NUMBER() OVER (PARTITION BY r.r_regionkey
+                            ORDER BY n.n_name) AS pos
+  FROM nation n
+  JOIN region r
+    ON CAST(n.n_regionkey AS VARCHAR) = CAST(r.r_regionkey AS VARCHAR)
+)
+SELECT {subj} AS subject,
+       '<{rdf}_' || CAST(pos AS VARCHAR) || '>' AS predicate,
+       '"' || nation || '"' AS object
+FROM m
+UNION ALL
+SELECT DISTINCT {subj}, '<{rdf}type>', '<{rdf}Seq>' FROM m
+UNION ALL
+SELECT DISTINCT {subj}, '<{EX}source>', '"tpch"' FROM m
+"""
+
+
 def ann_ivf_topk(k: int = 5, n_queries: int = 10, nprobe: int = 1) -> str:
     """IVF two-stage ANN: rank cells by centroid dot product, exact
     cosine inside the probed cell only."""
