@@ -194,8 +194,9 @@ def gather_triples_per_row(df: DataFrame,
     array yields ONE collection per row, members in document order.
     ``vals_col`` is that array column (already null-filtered/ordered by
     the caller), so everything here is per-row array lambdas + one
-    posexplode — ZERO shuffle, and list order is source order (an
-    explode→groupBy plan cannot guarantee either).
+    posexplode — NO shuffle beyond the caller's source dedup, and list
+    order is source order (an explode→groupBy plan adds a corpus-sized
+    exchange per rule and cannot guarantee order at all).
 
     - object position: pass ``subject_col`` + ``predicate_iri`` — emits
       (subject, predicate, head|nil) plus the chain/container triples;
@@ -213,23 +214,23 @@ def gather_triples_per_row(df: DataFrame,
     (object position only) and containers keep the head + rdf:type
     triple with no members (RMLTC-CC-0003-E* expected outputs).
     """
+    def _q(name: str) -> Column:
+        # backtick-quote: gather sources may carry dotted / XPath-ish
+        # column names (pid.id.value, info/name)
+        return F.col("`" + name.replace("`", "``") + "`")
+
     base = df.select(
         (subject_col if subject_col is not None else F.lit(None)).alias("__subj"),
         (head_col if head_col is not None else F.lit(None)).alias("__head"),
         F.filter(vals_col, lambda v: v.isNotNull()).alias("vals"),
         *[c.alias(f"__pom_{i}_{j}") for i, (p, o) in enumerate(poms)
           for j, c in enumerate((p, o))],
-        F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns]))).alias("__rk"),
+        F.md5(F.to_json(F.struct(*[_q(c) for c in df.columns]))).alias("__rk"),
     )
     n = F.size("vals")
     empty = F.coalesce(n, F.lit(0)) == 0
-    if not allow_empty or gather_as == RDF_LIST:
-        # empty LIST rows survive only to emit `subject pred rdf:nil`
-        # in object position; containers drop entirely when not allowed
-        non_empty = base.where(~empty)
-    else:
-        non_empty = base
-    if not allow_empty:
+    keep_empty = allow_empty and subject_col is not None
+    if not keep_empty:
         base = base.where(~empty)
 
     named = F.col("__head").isNotNull()
@@ -238,60 +239,66 @@ def gather_triples_per_row(df: DataFrame,
     terms = F.transform(
         F.col("vals"), lambda v: _value_term(v, value_termtype, value_datatype))
 
-    parts: list[DataFrame] = []
+    def t(s: Column, p: Column, o: Column) -> Column:
+        return F.struct(s.alias("s"), p.alias("p"), o.alias("o"))
+
+    def node_at(i: Column) -> Column:
+        return F.when(i == 0, head_node) \
+                .otherwise(F.concat(F.lit("_:g"), F.col("__rk"),
+                                    F.lit("_"), i.cast("string")))
+
+    # ALL of one row's triples as a single per-row struct array, exploded
+    # once — one scan + one dedup feed every triple kind (a union of
+    # per-kind branches would re-plan the source subtree per branch,
+    # tripling the scan and the dedup exchange).
+    empty_arr = F.array().cast("array<struct<s:string,p:string,o:string>>")
+    groups: list[Column] = []
 
     if gather_as == RDF_LIST:
-        obj_head = F.when(empty, F.lit(RDF_NIL)).otherwise(head_node)
         if subject_col is not None:
-            parts.append(base.select(
-                F.col("__subj").alias("subject"),
-                F.lit(f"<{predicate_iri}>").alias("predicate"),
-                obj_head.alias("object")))
-        chain = non_empty.where(~empty).select(
-            head_node.alias("__h"), F.col("__rk"), F.size("vals").alias("__n"),
-            *[F.col(c) for c in non_empty.columns if c.startswith("__pom_")],
-            F.posexplode(terms).alias("i", "term"))
-        node_i = F.when(F.col("i") == 0, F.col("__h")) \
-                  .otherwise(F.concat(F.lit("_:g"), F.col("__rk"), F.lit("_"), F.col("i")))
-        node_next = F.when(F.col("i") == F.col("__n") - 1, F.lit(RDF_NIL)) \
-                     .otherwise(F.concat(F.lit("_:g"), F.col("__rk"), F.lit("_"), F.col("i") + 1))
-        parts.append(chain.select(node_i.alias("subject"),
-                                  F.lit(RDF_FIRST).alias("predicate"),
-                                  F.col("term").alias("object")))
-        parts.append(chain.select(node_i.alias("subject"),
-                                  F.lit(RDF_REST).alias("predicate"),
-                                  node_next.alias("object")))
-        pom_base = non_empty.where(~empty)
+            obj_head = F.when(empty, F.lit(RDF_NIL)).otherwise(head_node)
+            groups.append(F.array(t(
+                F.col("__subj"), F.lit(f"<{predicate_iri}>"), obj_head)))
+        firsts = F.transform(
+            terms, lambda v, i: t(node_at(i), F.lit(RDF_FIRST), v))
+        rests = F.transform(
+            terms, lambda v, i: t(
+                node_at(i), F.lit(RDF_REST),
+                F.when(i == n - 1, F.lit(RDF_NIL)).otherwise(node_at(i + 1))))
+        groups += [firsts, rests]
+        pom_guard = ~empty
     elif gather_as in (RDF_BAG, RDF_SEQ, RDF_ALT):
         if subject_col is not None:
-            parts.append(non_empty.select(
-                F.col("__subj").alias("subject"),
-                F.lit(f"<{predicate_iri}>").alias("predicate"),
-                head_node.alias("object")))
-        parts.append(non_empty.select(
-            head_node.alias("subject"),
-            F.lit(RDF_TYPE).alias("predicate"),
-            F.lit(f"<{gather_as}>").alias("object")))
-        members = non_empty.select(
-            head_node.alias("__h"), F.posexplode(terms).alias("i", "term"))
-        parts.append(members.select(
-            F.col("__h").alias("subject"),
-            F.concat(F.lit(f"<{RDF}_"), F.col("i") + 1, F.lit(">")).alias("predicate"),
-            F.col("term").alias("object")))
-        pom_base = non_empty
+            groups.append(F.array(t(
+                F.col("__subj"), F.lit(f"<{predicate_iri}>"), head_node)))
+        groups.append(F.array(t(
+            head_node, F.lit(RDF_TYPE), F.lit(f"<{gather_as}>"))))
+        groups.append(F.transform(
+            terms, lambda v, i: t(
+                head_node,
+                F.concat(F.lit(f"<{RDF}_"), (i + 1).cast("string"), F.lit(">")),
+                v)))
+        pom_guard = F.lit(True) if allow_empty else ~empty
     else:
         raise ValueError(f"unknown gatherAs: {gather_as!r}")
 
-    for i, _ in enumerate(poms):
-        parts.append(pom_base.select(
-            head_node.alias("subject"),
-            F.col(f"__pom_{i}_0").alias("predicate"),
-            F.col(f"__pom_{i}_1").alias("object")))
+    pom_triples = [
+        F.when(pom_guard,
+               F.array(t(head_node, F.col(f"__pom_{i}_0"),
+                         F.col(f"__pom_{i}_1")))).otherwise(empty_arr)
+        for i, _ in enumerate(poms)
+    ]
+    if gather_as == RDF_LIST and keep_empty:
+        # empty list rows contribute ONLY the `subject pred rdf:nil` head
+        groups = [groups[0]] + [
+            F.when(~empty, g).otherwise(empty_arr) for g in groups[1:]]
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    all_triples = F.concat(*groups, *pom_triples) if len(groups) + \
+        len(pom_triples) > 1 else groups[0]
+    return (base.select(F.explode(all_triples).alias("t"))
+            .select(F.col("t.s").alias("subject"),
+                    F.col("t.p").alias("predicate"),
+                    F.col("t.o").alias("object")))
 
 
 _INTERNAL_HEAD = "urn:x-internal:gather-head"

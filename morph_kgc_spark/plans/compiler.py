@@ -398,10 +398,11 @@ def _compile_gather_rule(spark: SparkSession, rule: M.Rule,
 
     Hierarchical (JSON) sources load with arrays PRESERVED
     (flatten="structs"): the gather operator then runs per-row array
-    lambdas — zero shuffle, rdf:List order = document order (reference
-    materializer.py:237-892 iterates the exploded frame in document
-    order; an explode→groupBy plan loses it). Scalar gather refs
-    (tabular sources) keep the grouped cross-row path, value-sorted.
+    lambdas — the only exchange is the source dedup, and rdf:List order
+    = document order (reference materializer.py:237-892 iterates the
+    exploded frame in document order; an explode→groupBy plan adds a
+    second corpus-sized shuffle and loses the order). Scalar gather
+    refs (tabular sources) keep the grouped cross-row path, value-sorted.
 
     Null handling differs from plain rules: rows with null/empty *gather*
     values stay (they determine empty collections when

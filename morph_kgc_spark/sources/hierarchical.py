@@ -79,9 +79,9 @@ def flatten_rows(df: DataFrame, sep: str = ".",
     ``explode_arrays=False`` (RML-CC gather rules): structs still flatten
     to dotted columns but array columns stay ARRAYS, preserving document
     order per row — the gather operator then builds collection triples
-    with per-row array lambdas instead of explode + re-group (zero
-    shuffle, and rdf:List order is the source order, which an exploded
-    DataFrame cannot guarantee).
+    with per-row array lambdas instead of explode + re-group (no shuffle
+    beyond the source dedup, and rdf:List order is the source order,
+    which an exploded DataFrame cannot guarantee).
     """
     while True:
         changed = False

@@ -129,3 +129,40 @@ def test_ngram_adaptive_plan_no_python(spark):
         plan = _executed_plan(plan_df)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_per_row_gather_single_exchange(spark, tmp_path):
+    """RML-CC gather over a JSON array source compiles to per-row array
+    lambdas: the ONLY exchange is the source-row dedup (reference
+    preprocess parity) — chain construction itself is shuffle-free,
+    where an explode→groupBy implementation would add a second,
+    corpus-sized shuffle per gather rule."""
+    import json
+
+    from morph_kgc_spark import materialize
+    from morph_kgc_spark.mapping import parse_any_mapping
+
+    p = tmp_path / "data.json"
+    p.write_text(json.dumps(
+        [{"id": "a", "vals": ["1", "2"]}, {"id": "b", "vals": ["3"]}]))
+    ttl = f"""
+@prefix rml: <http://w3id.org/rml/>.
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>.
+@prefix ex: <http://example.com/>.
+<#TM> a rml:TriplesMap;
+  rml:logicalSource [ rml:source "{p}" ;
+      rml:referenceFormulation rml:JSONPath ; rml:iterator "$.*" ] ;
+  rml:predicateObjectMap [
+    rml:predicate ex:with ;
+    rml:objectMap [ rml:gather ( [ rml:reference "vals" ] ) ;
+                    rml:gatherAs rdf:List ] ] ;
+  rml:subjectMap [ rml:template "http://example.com/e/{{id}}" ] .
+"""
+    rules = parse_any_mapping(ttl)
+    df = materialize(spark, rules, distinct=False)
+    plan = _executed_plan(df)
+    # every triple kind comes from ONE per-row struct array: one scan,
+    # one dedup, no Union re-planning the source per branch
+    assert len(re.findall(r"FileScan json", plan)) == 1, plan
+    assert "Union" not in plan, plan
+    assert df.count() == 8  # 2 head triples + 3 first + 3 rest

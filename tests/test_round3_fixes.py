@@ -117,3 +117,21 @@ def test_load_udfs_supports_bif_protocol(tmp_path):
     col, explodes = apply_function("http://example.com/fn/upper",
                                    string=F.lit("ab"))
     assert not explodes
+
+
+def test_partitioning_modes_equivalent(spark):
+    """The MAXIMAL mapping partitioner prunes distincts but must never
+    change the result set — the reference tests json/complex under three
+    partitioning modes (test_complex_JSON.py); here: partitioned vs
+    unpartitioned over the same mapping."""
+    case = "/root/reference/test/rml-core/json/complex"
+    with open(f"{case}/mapping.ttl") as f:
+        text = f.read()
+    from morph_kgc_spark.mapping import parse_any_mapping
+
+    rules = parse_any_mapping(text, base_dir="/root/reference")
+    a = materialize(spark, rules, partition_rules=True)
+    b = materialize(spark, rules, partition_rules=False)
+    rows_a = {(r.subject, r.predicate, r.object) for r in a.collect()}
+    rows_b = {(r.subject, r.predicate, r.object) for r in b.collect()}
+    assert rows_a == rows_b and len(rows_a) == 27
