@@ -486,6 +486,11 @@ def q_text_token_stats(spark, sf_dir):
     return T.token_stats(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    return T.bpe_token_count(_read(spark, sf_dir, "documents"),
+                             "doc_id", "text")
+
+
 def q_text_language_id(spark, sf_dir):
     return T.language_id(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -654,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_token_stats": q_text_token_stats,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "text_language_id": q_text_language_id,
         "text_quality_score": q_text_quality_score,
         "text_fingerprint": q_text_fingerprint,
@@ -695,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": oracles.text_pii_scrub(),
         "ann_cosine_topk": oracles.ann_cosine_topk(),
         "text_token_stats": oracles.text_token_stats(),
+        "text_bpe_tokens": oracles.text_bpe_tokens(),
         "text_language_id": oracles.text_language_id(),
         "text_quality_score": oracles.text_quality_score(),
         "text_fingerprint": oracles.text_fingerprint(),

@@ -68,6 +68,29 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer, simplified to syntax that means the same in
+# Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed
+# letter runs, digit runs, other-symbol runs. (The original uses \p{L}
+# with lookahead; lookahead is dropped — trailing spaces fold into the
+# next token — and the class set is explicit ASCII+Latin-1.)
+BPE_TOKEN_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                r"| ?[A-Za-zÀ-ÿ]+| ?[0-9]+"
+                r"| ?[^A-Za-zÀ-ÿ0-9 ]+")
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_bpe_tokens, n_ws_tokens): BPE-ish pretoken count next to the
+    whitespace count — the cost estimator a training-data pipeline uses
+    to budget documents before real tokenization. Pure codegen
+    (regexp_count), no shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
+         .cast("long").alias("n_bpe_tokens"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+    )
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-profile language ID: argmax of per-language hit counts,
     alphabetical tie-break. (id, pred_lang, score)."""

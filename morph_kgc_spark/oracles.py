@@ -617,6 +617,20 @@ FROM documents
 """
 
 
+def text_bpe_tokens() -> str:
+    """Twin of operators.text.bpe_token_count — the SAME pattern string
+    (it is restricted to syntax Java regex and RE2 read identically)."""
+    from morph_kgc_spark.operators.text import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len({_TOKENS}) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
 def text_language_id() -> str:
     langs = sorted(LANG_PROFILES)
     score_cols = []

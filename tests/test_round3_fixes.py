@@ -135,3 +135,17 @@ def test_partitioning_modes_equivalent(spark):
     rows_a = {(r.subject, r.predicate, r.object) for r in a.collect()}
     rows_b = {(r.subject, r.predicate, r.object) for r in b.collect()}
     assert rows_a == rows_b and len(rows_a) == 27
+
+
+def test_bpe_token_count(spark):
+    """BPE-ish pretokenizer: contractions split, letter/digit/symbol runs
+    count once each (space-prefixed), matching the oracle's RE2 reading."""
+    from morph_kgc_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("1", "it's 2024, don't stop!"), ("2", "hello world"), ("3", "a1b2")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: (r.n_bpe_tokens, r.n_ws_tokens)
+            for r in bpe_token_count(df, "doc_id", "text").collect()}
+    # it|'s| 2024|,| don|'t| stop|!  = 8 ; hello| world = 2 ; a|1|b|2 = 4
+    assert rows == {"1": (8, 4), "2": (2, 2), "3": (4, 1)}
