@@ -427,6 +427,12 @@ def q_ann_ivf_topk(spark, sf_dir):
                       k=5, nprobe=1)
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, "vec_id", "embedding", k=5, bits=4)
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -649,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gather_subject_seq": q_kg_gather_subject_seq,
         "kg_fnml_composed": q_kg_fnml_composed,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -691,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_gather_subject_seq": oracles.kg_gather_subject_seq(),
         "kg_fnml_composed": oracles.kg_fnml_composed(),
         "ann_ivf_topk": oracles.ann_ivf_topk(),
+        "ann_lsh_topk": oracles.ann_lsh_topk(),
         "dedup_exact": oracles.dedup_exact(),
         "dedup_minhash_lsh": oracles.dedup_minhash_lsh(),
         "dedup_simhash": oracles.dedup_simhash(),

@@ -1,13 +1,18 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
-Two strategies:
+Three strategies:
 - ``cosine_topk``: exact brute-force top-k (the baseline; fine to ~10^6 ×
   10^3 queries when the query side is broadcast);
 - ``ivf_topk``: IVF-style two-stage search — assign every vector to a
   coarse cell, pick the best ``nprobe`` cells per query by centroid
   similarity, then exact cosine only inside probed cells. At 100 TB the
   cell assignment is a bucketed/partitioned table and each query touches
-  nprobe partitions instead of the full corpus.
+  nprobe partitions instead of the full corpus;
+- ``lsh_topk``: SRP-LSH bucketing — corpus AND queries key on the sign
+  pattern of the leading coordinates (a fixed-hyperplane simhash), then
+  exact cosine inside the shared bucket via an equi-join. No centroid
+  pass at all, so it beats IVF when the corpus streams in (no training
+  step); recall is approximate for cross-bucket neighbors.
 
 Dot products run over array<double> in index order (F.zip_with +
 F.aggregate) so the DuckDB oracle reproduces identical doubles.
@@ -43,6 +48,44 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 F.round(_dot("qv", "cv"), 6).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+def sign_bucket(vec: Column, bits: int) -> Column:
+    """Sign pattern of the first ``bits`` coordinates — a deterministic
+    SRP bucket with axis-aligned hyperplanes (no RNG: both engines and
+    every retry compute the same key)."""
+    return F.concat_ws("", F.transform(
+        F.slice(vec, 1, bits),
+        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, k: int = 5, bits: int = 4) -> DataFrame:
+    """SRP-LSH bucketed ANN: exact cosine top-k inside the query's sign
+    bucket. One equi-join on the bucket key + one per-query window —
+    at 10^12 vectors the corpus is written bucketed on this key, so a
+    query batch touches only its buckets' files. ``bits`` trades recall
+    (neighbors straddling a sign boundary are missed) against bucket
+    size ~ n/2^bits; high-cosine pairs agree in sign wherever |x| is
+    non-negligible, so small ``bits`` keeps recall high.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv")) \
+              .withColumn("bucket", sign_bucket(F.col("cv"), bits))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv")) \
+               .withColumn("bucket", sign_bucket(F.col("qv"), bits))
+    scored = (
+        c.join(F.broadcast(q), on="bucket", how="inner")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(_dot("qv", "cv"), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cos_sim"))

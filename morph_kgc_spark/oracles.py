@@ -606,6 +606,32 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_lsh_topk(k: int = 5, n_queries: int = 10, bits: int = 4) -> str:
+    """Twin of similarity.lsh_topk: same axis-aligned sign bucket, exact
+    cosine within the shared bucket, same tie-break."""
+    sign = (f"array_to_string(list_transform(v[1:{bits}], "
+            "x -> CASE WHEN CAST(x AS DOUBLE) >= 0 THEN '1' ELSE '0' END), '')")
+    return f"""
+WITH c AS (SELECT vec_id, embedding AS v, {sign} AS bucket FROM embeddings),
+q AS (SELECT vec_id, embedding AS v, {sign} AS bucket FROM embeddings
+      WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))), 6) AS cos_sim
+  FROM c a JOIN q b ON a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}
+"""
+
+
 def text_token_stats() -> str:
     return f"""
 SELECT doc_id,
