@@ -417,7 +417,7 @@ def _compile_gather_rule(spark: SparkSession, rule: M.Rule,
 
     g = rule.gather
     src = rule.source
-    if src.kind == "json":
+    if src.kind in ("json", "python"):
         src = M.Source(src.kind, src.value,
                        {**src.options, "flatten": "structs"})
     df = load_source(spark, src)

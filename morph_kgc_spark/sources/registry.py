@@ -104,7 +104,8 @@ class SourceRegistry:
             with os.fdopen(fd, "w", encoding="utf-8") as f:
                 f.write(payload)
             self._python_paths[name] = path
-        return json_source(spark, path, iterator=opts.get("iterator", "$.*"))
+        return json_source(spark, path, iterator=opts.get("iterator", "$.*"),
+                           flatten=opts.get("flatten", True))
 
     def close(self) -> None:
         """Remove temp files written for python sources."""

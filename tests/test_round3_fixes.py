@@ -149,3 +149,38 @@ def test_bpe_token_count(spark):
             for r in bpe_token_count(df, "doc_id", "text").collect()}
     # it|'s| 2024|,| don|'t| stop|!  = 8 ; hello| world = 2 ; a|1|b|2 = 4
     assert rows == {"1": (8, 4), "2": (2, 2), "3": (4, 1)}
+
+
+def test_gather_over_in_memory_python_source(spark):
+    """rml:gather over an sd: in-memory JSON source keeps per-row arrays
+    (document order), same as the file-backed JSON path."""
+    ttl = """
+@prefix rml: <http://w3id.org/rml/>.
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>.
+@prefix ex: <http://example.com/>.
+@prefix sd: <https://w3id.org/okn/o/sd#>.
+<#TM> a rml:TriplesMap;
+  rml:logicalSource [
+      rml:source [ a sd:DatasetSpecification ; sd:name "mem" ] ;
+      rml:referenceFormulation rml:JSONPath ; rml:iterator "$.*" ] ;
+  rml:subjectMap [ rml:template "http://example.com/e/{id}" ;
+      rml:gather ( [ rml:reference "vals" ] ) ; rml:gatherAs rdf:Seq ] .
+"""
+    import morph_kgc_spark as mks
+
+    ini = "[DataSource]\nmappings=inline\n"
+    data = [{"id": "a", "vals": ["z", "y"]}]
+    from morph_kgc_spark.mapping import parse_any_mapping
+    from morph_kgc_spark.sources.registry import default_registry
+
+    reg = default_registry()
+    reg.register_python(spark, "mem", data)
+    rules = parse_any_mapping(ttl)
+    out = {(r.subject, r.predicate, r.object)
+           for r in mks.materialize(spark, rules, registry=reg).collect()}
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    assert out == {
+        (f"<http://example.com/e/a>", f"<{rdf}type>", f"<{rdf}Seq>"),
+        (f"<http://example.com/e/a>", f"<{rdf}_1>", '"z"'),
+        (f"<http://example.com/e/a>", f"<{rdf}_2>", '"y"'),
+    }
