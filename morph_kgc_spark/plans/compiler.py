@@ -271,10 +271,25 @@ def _object_column(rule: M.Rule, col_prefix: str = "") -> Column:
 
 def compile_rule(spark: SparkSession, rule: M.Rule,
                  load_source: SourceLoader,
-                 na_values: Iterable[str] = DEFAULT_NA_VALUES) -> DataFrame:
-    """Compile one rule into a DataFrame(subject, predicate, object[, graph])."""
+                 na_values: Iterable[str] = DEFAULT_NA_VALUES,
+                 dedup_source: bool = True) -> DataFrame:
+    """Compile one rule into a DataFrame(subject, predicate, object[, graph]).
+
+    ``dedup_source=False`` skips the scan-level dropDuplicates: when a
+    set-semantics distinct runs downstream anyway, dedup(refs) → render →
+    distinct and render → distinct produce the same set, and the early
+    dedup is a pure extra shuffle (rendered terms are functions of the
+    refs). materialize_rules passes False exactly for simple projection
+    rules inside distinct groups; JOIN rules keep the pre-join dedup —
+    duplicate keys would multiply join output before the distinct could
+    collapse it (the reference preprocess dedups for the same reason,
+    materializer.py:37-55).
+    """
     if rule.gather is not None:
         return _compile_gather_rule(spark, rule, load_source, na_values)
+    if rule.parent_source is not None or rule.join_conditions \
+            or rule.subject_join_conditions:
+        dedup_source = True
 
     # quoted map with join condition: the quoted rule's own source is
     # the join parent unless the caller set one explicitly (must happen
@@ -291,7 +306,7 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
         base = spark.range(1)
     else:
         base = prepare_source(load_source(spark, rule.source), refs,
-                              na_values=na_values,
+                              na_values=na_values, dedup=dedup_source,
                               fill_missing=rule.source.kind in ("json", "xml"))
 
     col_prefix = ""
@@ -554,7 +569,11 @@ def materialize_rules(spark: SparkSession, rules: list[M.Rule],
     n_graph = any(r.graph is not None for r in rules)
     frames: dict[str, DataFrame] = {}
     for i, rule in enumerate(rules):
-        df = compile_rule(spark, rule, load_source, na_values=na_values)
+        # each rule's branch ends in a distinct (per-group or global)
+        # whenever set semantics are on — the scan-level dedup is then a
+        # redundant extra exchange for projection-only rules
+        df = compile_rule(spark, rule, load_source, na_values=na_values,
+                          dedup_source=not distinct)
         if n_graph and "graph" not in df.columns:
             df = df.withColumn("graph", F.lit(None).cast("string"))
         key = rule.mapping_partition or f"__rule_{i}"
