@@ -127,24 +127,32 @@ _EVAL_LOCALS = {
 }
 
 
+# whitelisted node→operator tables for _safe_eval_bool, module-level so
+# the Arrow batch loop does not rebuild them per cell. ast.Pow is
+# deliberately EXCLUDED: '9**9**9**9' in a data cell would compute an
+# astronomically large int on the executor (DoS) — boolean condition
+# cells never legitimately need it.
+import ast as _ast  # noqa: E402 — local to the eval tables below
+import operator as _op  # noqa: E402
+
+_EVAL_BIN = {_ast.Add: _op.add, _ast.Sub: _op.sub, _ast.Mult: _op.mul,
+             _ast.Div: _op.truediv, _ast.Mod: _op.mod,
+             _ast.FloorDiv: _op.floordiv}
+_EVAL_CMP = {_ast.Eq: _op.eq, _ast.NotEq: _op.ne, _ast.Lt: _op.lt,
+             _ast.LtE: _op.le, _ast.Gt: _op.gt, _ast.GtE: _op.ge,
+             _ast.In: lambda a, b: a in b,
+             _ast.NotIn: lambda a, b: a not in b}
+
+
 def _safe_eval_bool(v: str):
     """AST-whitelisted evaluation of a condition cell — literals,
     boolean-name constants, comparisons, and/or/not, unary ± and
-    numeric +-*/%. The reference eval()s the cell outright
+    numeric +-*/% (no **). The reference eval()s the cell outright
     (built_in_functions.py:159-168); a raw eval (even with builtins
     stripped) lets a crafted DATA VALUE execute python on executors
     (dunder-walk escapes), so anything outside the whitelist → null
     (false branch), where the reference would raise."""
-    import ast
-    import operator as op
-
-    _BIN = {ast.Add: op.add, ast.Sub: op.sub, ast.Mult: op.mul,
-            ast.Div: op.truediv, ast.Mod: op.mod,
-            ast.FloorDiv: op.floordiv, ast.Pow: op.pow}
-    _CMP = {ast.Eq: op.eq, ast.NotEq: op.ne, ast.Lt: op.lt,
-            ast.LtE: op.le, ast.Gt: op.gt, ast.GtE: op.ge,
-            ast.In: lambda a, b: a in b,
-            ast.NotIn: lambda a, b: a not in b}
+    ast, _BIN, _CMP = _ast, _EVAL_BIN, _EVAL_CMP
 
     def ev(node):
         if isinstance(node, ast.Expression):

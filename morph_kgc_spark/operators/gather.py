@@ -209,10 +209,13 @@ def gather_triples_per_row(df: DataFrame,
     label is unique — and stable across task retries/resume, unlike
     monotonically_increasing_id).
 
-    Empty gathers (all values null / empty array): the row is DROPPED
-    unless ``allow_empty`` — then rdf:List yields object rdf:nil
-    (object position only) and containers keep the head + rdf:type
-    triple with no members (RMLTC-CC-0003-E* expected outputs).
+    Empty gathers (all values null / empty array): in OBJECT position
+    the row is dropped unless ``allow_empty`` — then rdf:List yields
+    object rdf:nil and containers keep the head + rdf:type triple with
+    no members (RMLTC-CC-0003-E* expected outputs). In SUBJECT position
+    empty rows always drop, ``allow_empty`` or not — the reference's SM
+    materializer filters ``len > 0`` before emitting anything
+    (materializer.py:466 ``df[df[col].map(lambda x: len(x) > 0)]``).
     """
     def _q(name: str) -> Column:
         # backtick-quote: gather sources may carry dotted / XPath-ish
@@ -266,7 +269,6 @@ def gather_triples_per_row(df: DataFrame,
                 node_at(i), F.lit(RDF_REST),
                 F.when(i == n - 1, F.lit(RDF_NIL)).otherwise(node_at(i + 1))))
         groups += [firsts, rests]
-        pom_guard = ~empty
     elif gather_as in (RDF_BAG, RDF_SEQ, RDF_ALT):
         if subject_col is not None:
             groups.append(F.array(t(
@@ -278,12 +280,15 @@ def gather_triples_per_row(df: DataFrame,
                 head_node,
                 F.concat(F.lit(f"<{RDF}_"), (i + 1).cast("string"), F.lit(">")),
                 v)))
-        pom_guard = F.lit(True) if allow_empty else ~empty
     else:
         raise ValueError(f"unknown gatherAs: {gather_as!r}")
 
+    # a null POM value (missing key in this row) must DROP that pom
+    # triple, not emit one with a NULL object that would serialize as a
+    # corrupt N-Triples line — same null-row semantics as plain rules
     pom_triples = [
-        F.when(pom_guard,
+        F.when(F.col(f"__pom_{i}_0").isNotNull()
+               & F.col(f"__pom_{i}_1").isNotNull(),
                F.array(t(head_node, F.col(f"__pom_{i}_0"),
                          F.col(f"__pom_{i}_1")))).otherwise(empty_arr)
         for i, _ in enumerate(poms)
@@ -301,40 +306,7 @@ def gather_triples_per_row(df: DataFrame,
                     F.col("t.o").alias("object")))
 
 
-_INTERNAL_HEAD = "urn:x-internal:gather-head"
-
-
-def gather_subject_triples(df: DataFrame,
-                           head_col: Column,
-                           gather_refs: list[str],
-                           gather_as: str,
-                           poms: list[tuple[str, Column]],
-                           value_termtype: str = M.LITERAL,
-                           value_datatype: Optional[str] = None,
-                           order_col: Optional[Column] = None,
-                           allow_empty: bool = False) -> DataFrame:
-    """Named collection/container in SUBJECT position
-    (reference: materializer.py:454-892).
-
-    The collection node (``head_col``, the subject map's template) is the
-    subject of the per-group predicate-object triples in ``poms``
-    [(predicate_iri, object_col), ...], and also heads the chain/container
-    triples. Unnamed subject gathers (fresh bnode heads) are not
-    supported — name the node or gather in object position.
-    """
-    chain = gather_triples(
-        df, subject_col=head_col, predicate_iri=_INTERNAL_HEAD,
-        gather_refs=gather_refs, gather_as=gather_as,
-        value_termtype=value_termtype, value_datatype=value_datatype,
-        head_col=head_col, order_col=order_col, allow_empty=allow_empty,
-    ).where(F.col("predicate") != f"<{_INTERNAL_HEAD}>")
-
-    out = chain
-    for pred_iri, obj_col in poms:
-        pom = df.select(
-            head_col.alias("subject"),
-            F.lit(f"<{pred_iri}>").alias("predicate"),
-            obj_col.alias("object"),
-        ).dropDuplicates()
-        out = out.unionAll(pom)
-    return out
+# NOTE: the former grouped gather_subject_triples was deleted in round 3 —
+# subject-position gathers always compile through gather_triples_per_row
+# (scalar refs wrap as 1-element arrays), so a second implementation with
+# divergent semantics had no remaining call path.

@@ -238,6 +238,10 @@ def _pandas_fallback(spark: SparkSession, path: str, opts: dict) -> DataFrame:
     try:
         pdf = reader(path, **opts.get("reader_kwargs", {}))
     except ImportError:
+        if fmt not in ("xlsx", "ods"):
+            # other formats have no stdlib fallback — surface pandas'
+            # actionable "install <engine>" error
+            raise
         # pandas' excel engines (openpyxl/odfpy) are optional deps; both
         # formats are zip+XML, covered by the stdlib readers in sheets.py
         from morph_kgc_spark.sources.sheets import read_ods, read_xlsx

@@ -114,8 +114,11 @@ def read_ods(path: str) -> "pandas.DataFrame":  # noqa: F821
             else:
                 val = "\n".join("".join(p.itertext())
                                 for p in cell.findall(f"{_TEXT}p")) or None
-            # trailing huge repeats pad the sheet grid — cap empty runs
-            out.extend([val] * min(repeat, 1 if val is None else repeat))
+            # interior blank runs must repeat in FULL (values after them
+            # belong to later columns); the cap only bounds the huge
+            # grid-padding repeats (16384-column sheets), which the
+            # trailing-empty trim below removes anyway
+            out.extend([val] * min(repeat, 4096))
         rows.append(out)
     while rows and all(v is None for v in rows[-1]):
         rows.pop()

@@ -141,22 +141,43 @@ def test_order_preserving_gather(spark):
 
 
 def test_subject_position_gather(spark):
-    from morph_kgc_spark.operators.gather import gather_subject_triples
+    from morph_kgc_spark.operators.gather import gather_triples_per_row
 
     df = spark.createDataFrame(pd.DataFrame(
-        {"id": ["a", "a"], "v": ["1", "2"], "label": ["L", "L"]}))
-    out = gather_subject_triples(
+        {"id": ["a"], "v": [["1", "2"]], "label": ["L"]}))
+    out = gather_triples_per_row(
         df,
-        head_col=F.concat(F.lit(f"<{EX}list/"), F.col("id"), F.lit(">")),
-        gather_refs=["v"],
+        vals_col=F.col("v"),
         gather_as=RDF_LIST,
-        poms=[(EX + "label",
-               F.concat(F.lit('"'), F.col("label"), F.lit('"')))],
+        head_col=F.concat(F.lit(f"<{EX}list/"), F.col("id"), F.lit(">")),
+        poms=((F.lit(f"<{EX}label>"),
+               F.concat(F.lit('"'), F.col("label"), F.lit('"'))),),
     )
     rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
     # the collection node is the subject of the POM triple
     assert (f"<{EX}list/a>", f"<{EX}label>", '"L"') in rows
     # and heads its own first/rest chain
     assert (f"<{EX}list/a>", f"<{RDF}first>", '"1"') in rows
-    # no internal head-link triple leaked
-    assert not any("x-internal" in p for _, p, _ in rows)
+
+
+def test_subject_gather_null_pom_value_drops_triple(spark):
+    """A row whose POM reference is null contributes NO pom triple —
+    never one with a NULL object (corrupt N-Triples)."""
+    from morph_kgc_spark.operators.gather import gather_triples_per_row
+
+    df = spark.createDataFrame(
+        [("a", ["1"], "L"), ("b", ["2"], None)],
+        "id string, v array<string>, label string")
+    out = gather_triples_per_row(
+        df,
+        vals_col=F.col("v"),
+        gather_as=RDF_SEQ,
+        head_col=F.concat(F.lit(f"<{EX}e/"), F.col("id"), F.lit(">")),
+        poms=((F.lit(f"<{EX}label>"),
+               F.when(F.col("label").isNotNull(),
+                      F.concat(F.lit('"'), F.col("label"), F.lit('"')))),),
+    )
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    assert (f"<{EX}e/a>", f"<{EX}label>", '"L"') in rows
+    assert not any(o is None for _, _, o in rows)
+    assert (f"<{EX}e/b>", f"<{RDF}_1>", '"2"') in rows  # chain still emitted

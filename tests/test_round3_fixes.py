@@ -77,7 +77,8 @@ def test_safe_eval_rejects_all_call_shapes():
     assert _safe_eval_bool("1 + 1 > 3") is False
     for evil in ("open('/etc/passwd')",
                  "().__class__.__mro__[-1].__subclasses__()",
-                 "[x for x in (1,)]", "(lambda: 1)()", "'a'.join('b')"):
+                 "[x for x in (1,)]", "(lambda: 1)()", "'a'.join('b')",
+                 "9**9**9**9 > 1"):  # Pow excluded: huge-int DoS
         with pytest.raises(Exception):
             _safe_eval_bool(evil)
 
@@ -184,3 +185,45 @@ def test_gather_over_in_memory_python_source(spark):
         (f"<http://example.com/e/a>", f"<{rdf}_1>", '"z"'),
         (f"<http://example.com/e/a>", f"<{rdf}_2>", '"y"'),
     }
+
+
+def test_ods_interior_repeated_blanks_keep_columns():
+    """number-columns-repeated on an INTERIOR blank run must repeat in
+    full — collapsing it shifts later values into the wrong columns."""
+    import zipfile
+
+    from morph_kgc_spark.sources.sheets import read_ods
+
+    content = """<?xml version="1.0"?>
+<office:document-content
+ xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+ xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+ xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+ <office:body><office:spreadsheet><table:table table:name="S">
+  <table:table-row>
+   <table:table-cell office:value-type="string"><text:p>A</text:p></table:table-cell>
+   <table:table-cell office:value-type="string"><text:p>B</text:p></table:table-cell>
+   <table:table-cell office:value-type="string"><text:p>C</text:p></table:table-cell>
+   <table:table-cell office:value-type="string"><text:p>D</text:p></table:table-cell>
+  </table:table-row>
+  <table:table-row>
+   <table:table-cell office:value-type="string"><text:p>x</text:p></table:table-cell>
+   <table:table-cell table:number-columns-repeated="2"/>
+   <table:table-cell office:value-type="string"><text:p>y</text:p></table:table-cell>
+   <table:table-cell table:number-columns-repeated="16380"/>
+  </table:table-row>
+ </table:table></office:spreadsheet></office:body>
+</office:document-content>"""
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".ods")
+    import os as _os
+    _os.close(fd)
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("content.xml", content)
+    pdf = read_ods(path)
+    _os.unlink(path)
+    assert list(pdf.columns) == ["A", "B", "C", "D"]
+    row = pdf.iloc[0]
+    assert row["A"] == "x" and row["D"] == "y"
+    assert row["B"] is None and row["C"] is None
