@@ -1,0 +1,85 @@
+"""Property tests for the conformance runner's bnode canonicalizer.
+
+The canonicalizer must be isomorphism-INVARIANT (any relabeling of
+bnodes yields the same canonical form) and structure-SENSITIVE (the
+round-2 regex canonicalizer collapsed all labels to one token, so a
+reversed rdf:List chain still "matched"). Hypothesis drives both
+directions over random small graphs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from test_rml_conformance import _canon, _canonical_lines, _tokenize_nq
+
+IRIS = [f"<http://x.org/{n}>" for n in ("p", "q", "r")]
+LITS = ['"a"', '"b"']
+
+
+@st.composite
+def graphs(draw):
+    n_b = draw(st.integers(2, 6))
+    bnodes = [f"_:b{i}" for i in range(n_b)]
+    n_t = draw(st.integers(1, 10))
+    triples = set()
+    for _ in range(n_t):
+        s = draw(st.sampled_from(bnodes + IRIS[:1]))
+        p = draw(st.sampled_from(IRIS))
+        o = draw(st.sampled_from(bnodes + LITS))
+        triples.add(f"{s} {p} {o}")
+    return sorted(triples)
+
+
+def _permute(lines: list[str], seed: int) -> list[str]:
+    labels = sorted({t for ln in lines for t in _tokenize_nq(ln)
+                     if t.startswith("_:")})
+    rng = random.Random(seed)
+    new = [f"_:z{i}" for i in range(len(labels))]
+    rng.shuffle(new)
+    mapping = dict(zip(labels, new))
+    return [" ".join(mapping.get(t, t) for t in _tokenize_nq(ln))
+            for ln in lines]
+
+
+@settings(max_examples=120, deadline=None)
+@given(graphs(), st.integers(0, 10_000))
+def test_canonical_form_is_relabeling_invariant(lines, seed):
+    assert _canonical_lines([_tokenize_nq(x) for x in lines]) == \
+        _canonical_lines([_tokenize_nq(x) for x in _permute(lines, seed)])
+
+
+@settings(max_examples=60, deadline=None)
+@given(graphs())
+def test_canonical_form_detects_extra_triple(lines):
+    mutated = lines + ['<http://x.org/NEW> <http://x.org/NEW> "zz"']
+    assert _canonical_lines([_tokenize_nq(x) for x in lines]) != \
+        _canonical_lines([_tokenize_nq(x) for x in mutated])
+
+
+def test_list_chain_structure_is_verified():
+    """The regression the round-2 regex canonicalizer had: a REVERSED
+    rdf:List chain must NOT match the original."""
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    chain = [
+        f'<http://x.org/s> <http://x.org/with> _:h',
+        f'_:h <{rdf}first> "1"',
+        f'_:h <{rdf}rest> _:m',
+        f'_:m <{rdf}first> "2"',
+        f'_:m <{rdf}rest> <{rdf}nil>',
+    ]
+    reversed_chain = [
+        f'<http://x.org/s> <http://x.org/with> _:h',
+        f'_:h <{rdf}first> "2"',
+        f'_:h <{rdf}rest> _:m',
+        f'_:m <{rdf}first> "1"',
+        f'_:m <{rdf}rest> <{rdf}nil>',
+    ]
+    assert _canon(chain) != _canon(reversed_chain)
+    # and relabeled-but-equal chains DO match
+    relabeled = [ln.replace("_:h", "_:x9").replace("_:m", "_:k0")
+                 for ln in chain]
+    assert _canon(chain) == _canon(relabeled)
