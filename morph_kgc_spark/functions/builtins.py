@@ -19,7 +19,9 @@ builders under their own IRIs.
 
 from __future__ import annotations
 
+import ast as _ast
 import html as _html
+import operator as _op
 from typing import Callable
 
 import pandas as pd
@@ -132,9 +134,6 @@ _EVAL_LOCALS = {
 # deliberately EXCLUDED: '9**9**9**9' in a data cell would compute an
 # astronomically large int on the executor (DoS) — boolean condition
 # cells never legitimately need it.
-import ast as _ast  # noqa: E402 — local to the eval tables below
-import operator as _op  # noqa: E402
-
 _EVAL_BIN = {_ast.Add: _op.add, _ast.Sub: _op.sub, _ast.Mult: _op.mul,
              _ast.Div: _op.truediv, _ast.Mod: _op.mod,
              _ast.FloorDiv: _op.floordiv}
