@@ -61,6 +61,9 @@ def main() -> None:
         else:
             report = {"mode": "pipeline", "triples": triples.count(),
                       "seconds": round(time.time() - t0, 2)}
+        from morph_kgc_spark.operators.cache import release
+
+        release(triples)
     else:
         if not args.config:
             ap.error("--mode config requires --config")

@@ -25,15 +25,44 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
+def own(result: DataFrame, intermediates: list[DataFrame]) -> DataFrame:
+    """Attach persisted intermediates to ``result`` for deferred release.
+
+    Lazy-mode pair operators (``minhash_lsh_pairs(..., lazy=True)`` etc.)
+    skip the eager ``localCheckpoint`` of their result — the caller
+    consumes it exactly once, so paying a checkpoint write inside the
+    query is pure overhead — but their persisted intermediates must stay
+    alive until that consumption happens (the two sides of an aliased
+    self-join get no ReusedExchange; the persist is load-bearing).
+    ``own`` records those intermediates on the returned wrapper so that
+    :func:`release` frees them afterwards. Ownership composes: owning an
+    already-owning frame chains its dependencies.
+    """
+    owned = list(getattr(result, "_mkgc_owned", ()))
+    for dep in intermediates:
+        owned.extend(getattr(dep, "_mkgc_owned", ()))
+        owned.append(dep)
+    result._mkgc_owned = owned
+    return result
+
+
 def release(df: DataFrame) -> None:
     """Release the blocks of a ``localCheckpoint``-ed DataFrame.
 
-    The DataFrame must not be used afterwards. No-op when the frame is
-    not checkpoint-backed or its blocks are already gone. (PySpark has
-    no public unpersist for checkpointed frames; the JVM handles here
-    are stable internals — same class of access as the session's own
-    ``_jsc`` — and the hygiene test pins the behavior.)
+    Also unpersists any intermediates attached via :func:`own` (lazy-mode
+    operators). The DataFrame must not be used afterwards. No-op when the
+    frame is not checkpoint-backed or its blocks are already gone.
+    (PySpark has no public unpersist for checkpointed frames; the JVM
+    handles here are stable internals — same class of access as the
+    session's own ``_jsc`` — and the hygiene test pins the behavior.)
     """
+    for dep in getattr(df, "_mkgc_owned", ()):
+        try:
+            dep.unpersist()
+        except Exception:
+            pass
+    if hasattr(df, "_mkgc_owned"):
+        df._mkgc_owned = []
     try:
         plan = df._jdf.queryExecution().analyzed()
         if not plan.getClass().getName().endswith(".LogicalRDD"):

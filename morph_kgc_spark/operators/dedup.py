@@ -30,6 +30,7 @@ from morph_kgc_spark.functions.hashing import (
     h64,
     perm,
 )
+from morph_kgc_spark.operators import cache
 from morph_kgc_spark.operators.text import tokens, word_ngrams
 
 
@@ -74,12 +75,21 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      n: int = 3) -> DataFrame:
+                      n: int = 3, lazy: bool = False) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
     Banding: 4 bands × 4 rows; bucket = md5 of the band's signature slice.
     The pair join is an equi-join on (band, bucket) — skew-safe because
     bucket cardinality ~ corpus size / dup-cluster size.
+
+    ``lazy=False`` (default): the result is eagerly ``localCheckpoint``-ed
+    and the corpus-sized band cache is released before returning — the
+    multi-read-safe hygiene contract. ``lazy=True``: skip the checkpoint
+    (the caller consumes the result exactly once — the common pipeline
+    case, and at 100 TB an eager checkpoint of a large pair set into
+    executor-local storage is a cost spike); the band cache stays alive,
+    attached to the result, until the caller frees it with
+    ``cache.release(result)`` after consumption.
     """
     sigs = minhash_signatures(df, id_col, text_col, n)
     band_structs = F.array(*[
@@ -102,16 +112,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     bands = bands.persist()
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b_ = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = (
+        a.join(b_, on=["band", "bucket"], how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    if lazy:
+        return cache.own(pairs, [bands])
     try:
-        a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
-        b_ = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
-        return (
-            a.join(b_, on=["band", "bucket"], how="inner")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates()
-            .localCheckpoint()
-        )
+        return pairs.localCheckpoint()
     finally:
         bands.unpersist()
 
@@ -139,7 +151,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 6, bits: int = 32,
-                  n_bands: int | None = None) -> DataFrame:
+                  n_bands: int | None = None, lazy: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Pigeonhole banding: split the signature into ``n_bands`` bands; a
@@ -162,9 +174,13 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             f"max_hamming={max_hamming}: pigeonhole needs n_bands >= "
             f"max_hamming + 1 = {max_hamming + 1}")
     sig = simhash(df, id_col, text_col, bits=bits).persist()
+    pairs = _simhash_pairs_from_sig(sig, id_col, max_hamming, bits, n_bands)
+    if lazy:
+        # single-consumption mode: no eager checkpoint; the signature
+        # cache stays attached to the result until cache.release(result)
+        return cache.own(pairs, [sig])
     try:
-        return _simhash_pairs_from_sig(sig, id_col, max_hamming, bits,
-                                       n_bands).localCheckpoint()
+        return pairs.localCheckpoint()
     finally:
         sig.unpersist()
 
@@ -201,7 +217,8 @@ def _simhash_pairs_from_sig(sig: DataFrame, id_col: str, max_hamming: int,
 
 def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, k: int = 10,
-                       df_cap: int | None = 1000) -> DataFrame:
+                       df_cap: int | None = 1000,
+                       lazy: bool = False) -> DataFrame:
     """Top-k most similar pairs by exact n-gram Jaccard.
 
     Hot-shingle-safe at corpus scale via a rare/hot posting split:
@@ -226,19 +243,26 @@ def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
     """
     sh = shingles(df, id_col, text_col, n).persist()
     dfreq = None
+    if df_cap is not None:
+        # statistics-driven plan choice: one aggregate over the
+        # persisted shingle table decides whether any posting list
+        # exceeds the cap. No hot shingles → the exhaustive
+        # single-join plan IS the capped plan, without the split's
+        # extra joins. dfreq is persisted so the probe and the
+        # rare/hot splits share one aggregation; the probe is a full
+        # max() (not a filtered limit(1).count(): in the common no-hot
+        # case that scans everything anyway AND leaves dfreq partially
+        # cached — the full agg warms every partition for the split).
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df")) \
+                  .persist()
+        max_df = dfreq.agg(F.max("df")).first()[0]
+        if max_df is None or max_df <= df_cap:
+            df_cap = None
+    topk = _ngram_topk(sh, dfreq, id_col, k, df_cap)
+    if lazy:
+        return cache.own(topk, [sh] + ([dfreq] if dfreq is not None else []))
     try:
-        if df_cap is not None:
-            # statistics-driven plan choice: one aggregate over the
-            # persisted shingle table decides whether any posting list
-            # exceeds the cap. No hot shingles → the exhaustive
-            # single-join plan IS the capped plan, without the split's
-            # extra joins. dfreq is persisted so the probe and the
-            # rare/hot splits share one aggregation.
-            dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df")) \
-                      .persist()
-            if dfreq.where(F.col("df") > df_cap).limit(1).count() == 0:
-                df_cap = None
-        return _ngram_topk(sh, dfreq, id_col, k, df_cap).localCheckpoint()
+        return topk.localCheckpoint()
     finally:
         sh.unpersist()
         if dfreq is not None:
@@ -322,13 +346,15 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
     """
     from morph_kgc_spark.operators.cache import release
 
+    # lazy checkpoints: round 1's join+aggregate job fully scans both,
+    # materializing their blocks — no separate warm-up jobs needed
     labels = ids.select(F.col(id_col).alias("node"),
-                        F.col(id_col).alias("lbl")).localCheckpoint()
+                        F.col(id_col).alias("lbl")).localCheckpoint(eager=False)
     # undirected: propagate both ways
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     prev = labels
     for _ in range(max_iterations):
@@ -353,10 +379,18 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
             .select(F.col("node"), F.col("old_lbl"),
                     F.least(F.col("lbl"), F.coalesce(F.col("h_lbl"),
                                                      F.col("lbl"))).alias("lbl"))
-            .localCheckpoint()  # eager: truncates lineage, caches blocks
+            # lazy: the convergence aggregate below is the FIRST action on
+            # this frame, so ONE job per round both materializes the
+            # checkpoint blocks (truncating lineage) and computes the
+            # changed count — round 3 ran two jobs per round (eager
+            # checkpoint, then a limit(1).count() probe). The aggregate
+            # must be a full scan (it is): an early-exiting limit would
+            # leave unmaterialized partitions behind a truncated lineage.
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.where(F.col("lbl") != F.col("old_lbl")) \
-                            .limit(1).count()
+        changed = new_labels.agg(F.sum(
+            (F.col("lbl") != F.col("old_lbl")).cast("long")
+        ).alias("c")).first()["c"] or 0
         # the new round is materialized: the previous round's checkpoint
         # blocks are dead weight — release them (superseded rounds
         # otherwise accumulate one labels copy per iteration)

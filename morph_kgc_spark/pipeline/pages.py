@@ -238,7 +238,13 @@ def pipeline_triples(spark: SparkSession, pages: DataFrame,
     linked = link_entities(detect_mentions(
         extracted.select("url", F.col("etext").alias("text"), "lang"), aliases))
     # two rules consume `linked`; without persist the whole
-    # extract→detect→score subtree (the python-heavy part) runs twice
+    # extract→detect→score subtree (the python-heavy part) runs twice.
+    # The persist is scoped under the cache contract: it is attached to
+    # the returned triples frame, and cache.release(result) frees it
+    # after the caller consumes the output (eagerly checkpointing the
+    # corpus-sized triple set here instead would be a write-cost spike
+    # inside every pipeline run — hygiene is the caller's choice, same
+    # policy as the lazy-mode pair dedup operators).
     linked = linked.persist()
 
     reg = SourceRegistry()
@@ -270,7 +276,10 @@ def pipeline_triples(spark: SparkSession, pages: DataFrame,
     ]
     from morph_kgc_spark.plans.partitioner import assign_mapping_partitions
 
-    return materialize_rules(spark, assign_mapping_partitions(rules), reg)
+    from morph_kgc_spark.operators.cache import own
+
+    return own(materialize_rules(spark, assign_mapping_partitions(rules), reg),
+               [linked])
 
 
 def run_pipeline(spark: SparkSession, n_pages: int = 100_000,

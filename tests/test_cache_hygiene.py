@@ -42,6 +42,55 @@ def test_pair_ops_release_intermediates(spark, op):
         "release(result) must leave the session cache-clean"
 
 
+@pytest.mark.parametrize("op", [
+    lambda df: D.minhash_lsh_pairs(df, "doc_id", "text", lazy=True),
+    lambda df: D.simhash_pairs(df, "doc_id", "text", max_hamming=6, lazy=True),
+    lambda df: D.ngram_jaccard_topk(df, "doc_id", "text", k=5, lazy=True),
+    lambda df: D.ngram_jaccard_topk(df, "doc_id", "text", k=5, df_cap=3,
+                                    lazy=True),
+])
+def test_pair_ops_lazy_mode_release_on_demand(spark, op):
+    """lazy=True: no eager checkpoint; intermediates stay attached to the
+    result until cache.release(result) — then the session is clean."""
+    before = persistent_rdd_ids(spark)
+    out = op(_docs(spark))
+    out.count()  # single consumption (the lazy-mode contract)
+    assert getattr(out, "_mkgc_owned", []), \
+        "lazy result must carry its persisted intermediates"
+    release(out)
+    assert persistent_rdd_ids(spark) - before == set(), \
+        "release(result) must free lazy-mode intermediates"
+
+
+@pytest.mark.parametrize("lazy", [False, True])
+def test_pair_ops_modes_agree(spark, lazy):
+    """Both hygiene modes produce identical pairs."""
+    docs = _docs(spark)
+    out = D.minhash_lsh_pairs(docs, "doc_id", "text", lazy=lazy)
+    rows = sorted((r.id_a, r.id_b) for r in out.collect())
+    release(out)
+    ref = D.minhash_lsh_pairs(docs, "doc_id", "text")
+    ref_rows = sorted((r.id_a, r.id_b) for r in ref.collect())
+    release(ref)
+    assert rows == ref_rows
+
+
+def test_pipeline_triples_releases_linked_persist(spark):
+    """run_pipeline's linked-entities persist is owned by the result and
+    freed by cache.release — no corpus-sized blocks leak per invocation
+    (round-3 verdict: pipeline/pages.py held one unscoped persist)."""
+    from morph_kgc_spark.pipeline.pages import run_pipeline
+
+    before = persistent_rdd_ids(spark)
+    out = run_pipeline(spark, 300, n_entities=16)
+    assert out.count() > 0
+    assert persistent_rdd_ids(spark) - before, \
+        "sanity: the linked persist should be live while consuming"
+    release(out)
+    assert persistent_rdd_ids(spark) - before == set(), \
+        "release(run_pipeline output) must leave the session cache-clean"
+
+
 def test_dup_clusters_releases_round_blocks(spark):
     before = persistent_rdd_ids(spark)
     ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
