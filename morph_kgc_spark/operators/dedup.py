@@ -48,25 +48,80 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle).
+def _parallelize_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition a scan that is narrower than the cluster.
+
+    The heavy per-row work downstream (tokenize → n-gram → hash) is CPU
+    bound; a small corpus arriving as one parquet file is ONE partition,
+    so that work runs single-threaded no matter how many cores exist —
+    AQE cannot help because the scan partitioning is fixed upstream of
+    any shuffle. At real scale the input has thousands of file splits
+    (≥ parallelism) and this is a NO-OP — the repartition shuffle is
+    only paid when the input is small enough for it to be trivial.
+
+    With ``key`` the repartition is HASH(key) instead of round-robin:
+    a downstream groupBy(key) then reuses the partitioning and skips
+    its own exchange — the parallelize shuffle does double duty.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key) if key else df.repartition(target)
+    return df
+
+
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
+                   n: int = 3) -> DataFrame:
+    """Per-doc DISTINCT word n-gram shingles as an array: (id, grams).
 
     Tokens are materialized in a separate projection first — Catalyst
     does no CSE inside transform() lambdas, so inlining split(text) into
-    word_ngrams would re-split the text for every element_at.
+    word_ngrams would re-split the text for every element_at. The
+    per-doc set dedup is ``array_distinct`` INSIDE the row: the
+    explode + dropDuplicates formulation shuffles the entire posting
+    stream (at 100 TB that is shingles-per-doc × corpus, the largest
+    shuffle in the whole pipeline) to deduplicate what is a purely
+    row-local set — and on repetitive near-dup corpora the distinct set
+    is a small fraction of the raw stream, so everything downstream of
+    the explode (hashing, aggregation, joins) shrinks by that factor
+    too (measured ~20× on the synthetic documents table).
     """
-    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tok"))
-    return (
-        tok.select(F.col(id_col), F.explode(word_ngrams(F.col("__tok"), n)).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+    tok = _parallelize_narrow(df, id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tok"))
+    return tok.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(F.col("__tok"), n)).alias("grams"),
     )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle) — zero-shuffle.
+
+    ``explode_outer`` + not-null filter, NOT plain ``explode``: for a
+    non-outer generate Catalyst's InferFiltersFromGenerate infers
+    ``size(grams) > 0`` and pushes it below the projections, inlining
+    the whole tokenize→n-gram→distinct expression tree into an
+    interpreted Filter where split(text) is re-evaluated per element_at
+    — O(tokens²) per row and a second full pass (measured 20×). The
+    outer generate infers nothing; the filter on the GENERATED column
+    cannot be pushed below the generate and stays a cheap null check.
+    """
+    return shingle_arrays(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode_outer("grams").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3) -> DataFrame:
     """(id, sig_0..sig_15): min over shingles of 16 md5-derived permutations.
 
-    One explode + one groupBy — signature width N_PERMS=16.
+    One explode + one codegen hash-aggregate (16 min() aggs with
+    map-side partial combine). Deliberately NOT a per-row
+    ``transform``/``array_min`` formulation: lambda bodies of
+    higher-order functions are evaluated INTERPRETED (no whole-stage
+    codegen), and an interpreted md5 per shingle is ~8× slower than this
+    exploded codegen pipeline — measured, not guessed. The explode is
+    cheap because the per-doc set dedup already happened row-locally in
+    :func:`shingle_arrays`.
     """
     sh = shingles(df, id_col, text_col, n)
     base = h64(F.col("shingle"))
@@ -74,23 +129,72 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _grouped_pairs(df: DataFrame, keys: list[str], item,
+                   bucket_cap: int | None = None) -> DataFrame:
+    """All unordered item pairs within each key group — ONE shuffle.
+
+    ``groupBy(keys) + sort_array(collect_list(item))`` then a per-row
+    lambda emits the i<j pairs (columns ``a`` / ``b``, sorted order, so
+    a < b without a post-filter). This replaces the two-sided bucket
+    self-join (two shuffle writes + a persist of the bucket stream, and
+    aliased self-join sides get no ReusedExchange) with a single
+    aggregation shuffle.
+
+    Output size is Σ|bucket|² either way — that quadratic is inherent to
+    exact within-bucket pairing, not to this plan. ``bucket_cap`` bounds
+    the degenerate case (a bucket of near-identical boilerplate docs):
+    groups larger than the cap emit a STAR (first item paired with each
+    other item) instead of all pairs — O(b) rows, connectivity-preserving
+    (every member still reaches the same connected component through the
+    hub), so clustering consumers lose nothing; pair-level consumers that
+    verify each candidate edge should leave the cap off.
+    """
+    grouped = (
+        df.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+        .where(F.size("items") >= 2)
+    )
+    full = F.flatten(F.transform(
+        "items",
+        lambda a, i: F.transform(
+            F.slice("items", i + 2, F.size("items")),
+            lambda b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ))
+    if bucket_cap is None:
+        pairs = full
+    else:
+        star = F.transform(
+            F.slice("items", 2, F.size("items")),
+            lambda b: F.struct(F.element_at("items", 1).alias("a"),
+                               b.alias("b")),
+        )
+        pairs = F.when(F.size("items") > bucket_cap, star).otherwise(full)
+    # explode_outer: a plain explode makes InferFiltersFromGenerate
+    # duplicate the whole pair-generation lambda into a size()>0 Filter
+    # (evaluated interpreted, once more per group)
+    return (grouped.select(F.explode_outer(pairs).alias("p"))
+            .where(F.col("p").isNotNull()).select("p.a", "p.b"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      n: int = 3, lazy: bool = False) -> DataFrame:
+                      n: int = 3, lazy: bool = False,
+                      bucket_cap: int | None = None) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
-    Banding: 4 bands × 4 rows; bucket = md5 of the band's signature slice.
-    The pair join is an equi-join on (band, bucket) — skew-safe because
-    bucket cardinality ~ corpus size / dup-cluster size.
-
-    ``lazy=False`` (default): the result is eagerly ``localCheckpoint``-ed
-    and the corpus-sized band cache is released before returning — the
-    multi-read-safe hygiene contract. ``lazy=True``: skip the checkpoint
-    (the caller consumes the result exactly once — the common pipeline
-    case, and at 100 TB an eager checkpoint of a large pair set into
-    executor-local storage is a cost spike); the band cache stays alive,
-    attached to the result, until the caller frees it with
-    ``cache.release(result)`` after consumption.
+    Banding: 4 bands × 4 rows; bucket = md5 of the band's signature
+    slice. Three shuffles total: the signature aggregate, one grouping
+    shuffle for within-bucket pairing (:func:`_grouped_pairs` — md5
+    buckets are genuinely small, cardinality ~ corpus / dup-cluster
+    size, so collecting a bucket into a row is safe where it is NOT for
+    simhash's coarse bands), and the cross-band pair dedup. The
+    signature stream is consumed exactly once (no self-join), so
+    nothing is persisted and the operator is hygiene-clean in every
+    mode; ``lazy`` is accepted for API stability and changes nothing.
+    ``bucket_cap`` star-pairs degenerate buckets (see
+    :func:`_grouped_pairs`).
     """
+    del lazy  # no cached intermediates remain in this formulation
     sigs = minhash_signatures(df, id_col, text_col, n)
     band_structs = F.array(*[
         F.struct(
@@ -103,29 +207,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         for b in range(LSH_BANDS)
     ])
     # one explode instead of LSH_BANDS unions (which would recompute the
-    # signature aggregation per band); persist before the self-join so the
-    # two join sides share one computation of the signatures (aliased
-    # self-join sides do NOT get ReusedExchange — measured), scoped to
-    # this call: the small pair result is materialized eagerly, then the
-    # corpus-sized band cache is released before returning.
+    # signature projection per band)
     bands = sigs.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    bands = bands.persist()
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b_ = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    pairs = (
-        a.join(b_, on=["band", "bucket"], how="inner")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    return (
+        _grouped_pairs(bands, ["band", "bucket"], F.col(id_col), bucket_cap)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates()
     )
-    if lazy:
-        return cache.own(pairs, [bands])
-    try:
-        return pairs.localCheckpoint()
-    finally:
-        bands.unpersist()
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
@@ -133,9 +223,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     """(id, simhash): 32-bit SimHash over word tokens.
 
     Per-bit majority vote of token h64 hashes; computed as `bits`
-    conditional sums over the exploded token stream — a single shuffle.
+    conditional sums over the exploded token stream — a single codegen
+    hash-aggregate shuffle with map-side partial combine. (A per-row
+    ``F.aggregate`` over the token array avoids the shuffle but runs the
+    md5 interpreted inside the lambda — measured ~10× slower; see
+    :func:`minhash_signatures`.)
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    # explode_outer avoids InferFiltersFromGenerate re-evaluating the
+    # split per row in a pushed-down size()>0 filter (split never yields
+    # an empty array, so no row is actually droppable anyway)
+    tok = _parallelize_narrow(df, id_col).select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("token"),
+    ).where(F.col("token").isNotNull())
     h = h64(F.col("token"))
     sums = [
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
@@ -187,6 +287,13 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def _simhash_pairs_from_sig(sig: DataFrame, id_col: str, max_hamming: int,
                             bits: int, n_bands: int) -> DataFrame:
+    # a two-sided equi-join, NOT the collect_list grouped pairing used
+    # for minhash buckets: simhash bands are only ``bits/n_bands`` wide
+    # (16 distinct values at 32/7), so a band group holds a large slice
+    # of the corpus — collecting it into one row serializes the
+    # within-group quadratic into a single task, while the join streams
+    # it through codegen across tasks. The persisted signature is shared
+    # by both join sides (aliased self-join sides get no ReusedExchange).
     width = bits // n_bands
     bands = sig.select(
         F.col(id_col),
@@ -241,37 +348,48 @@ def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
     exhaustive single join. Returns (id_a, id_b, jaccard) ordered
     (jaccard desc, id_a, id_b).
     """
-    sh = shingles(df, id_col, text_col, n).persist()
+    # the shingle stream is a zero-shuffle projection now (per-row
+    # array_distinct), so it is NOT persisted: recomputing it per join
+    # side is a scan + row-local arithmetic, while caching it at corpus
+    # scale is impossible anyway (it is larger than the corpus). Doc
+    # sizes are row-local too (array length) — the old groupBy(id) agg
+    # shuffle is gone.
+    base = shingle_arrays(df, id_col, text_col, n)
+    # explode_outer + not-null, same reason as shingles(): a non-outer
+    # explode triggers InferFiltersFromGenerate's O(tokens²) pushdown
+    sh = base.select(F.col(id_col), F.explode_outer("grams").alias("shingle")) \
+             .where(F.col("shingle").isNotNull())
+    sizes = base.select(F.col(id_col), F.size("grams").alias("sz"))
     dfreq = None
     if df_cap is not None:
-        # statistics-driven plan choice: one aggregate over the
-        # persisted shingle table decides whether any posting list
-        # exceeds the cap. No hot shingles → the exhaustive
-        # single-join plan IS the capped plan, without the split's
-        # extra joins. dfreq is persisted so the probe and the
-        # rare/hot splits share one aggregation; the probe is a full
-        # max() (not a filtered limit(1).count(): in the common no-hot
-        # case that scans everything anyway AND leaves dfreq partially
-        # cached — the full agg warms every partition for the split).
+        # statistics-driven plan choice: one small aggregate decides
+        # whether any posting list exceeds the cap. No hot shingles →
+        # the exhaustive single-join plan IS the capped plan, without
+        # the split's extra joins. dfreq is persisted so the probe and
+        # the rare/hot splits share one aggregation; the probe is a
+        # full max() (a filtered limit(1).count() scans everything
+        # anyway in the common no-hot case AND would leave dfreq
+        # partially cached).
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df")) \
                   .persist()
         max_df = dfreq.agg(F.max("df")).first()[0]
         if max_df is None or max_df <= df_cap:
             df_cap = None
-    topk = _ngram_topk(sh, dfreq, id_col, k, df_cap)
+            dfreq.unpersist()
+            dfreq = None
+    topk = _ngram_topk(sh, sizes, dfreq, id_col, k, df_cap)
+    if dfreq is None:
+        return topk  # nothing cached — hygiene-clean in both modes
     if lazy:
-        return cache.own(topk, [sh] + ([dfreq] if dfreq is not None else []))
+        return cache.own(topk, [dfreq])
     try:
         return topk.localCheckpoint()
     finally:
-        sh.unpersist()
-        if dfreq is not None:
-            dfreq.unpersist()
+        dfreq.unpersist()
 
 
-def _ngram_topk(sh: DataFrame, dfreq, id_col: str, k: int,
+def _ngram_topk(sh: DataFrame, sizes: DataFrame, dfreq, id_col: str, k: int,
                 df_cap: int | None) -> DataFrame:
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
 

@@ -166,9 +166,13 @@ def detect_mentions(pages: DataFrame, aliases: DataFrame,
         for w, words in sorted(by_width.items()):
             grams = F.array_distinct(word_ngrams(F.col("__tok"), w))
             matched = F.filter(grams, lambda g: g.isin(*words))
+            # explode_outer + not-null: a plain explode lets Catalyst's
+            # InferFiltersFromGenerate clone the whole match lambda into
+            # a pushed-down size()>0 filter — the match work runs twice
             cand = tokenized.select(
-                "url", "text", "lang", F.explode(matched).alias("alias"),
-            ).join(F.broadcast(aliases.where(F.col("n_words") == w)),
+                "url", "text", "lang", F.explode_outer(matched).alias("alias"),
+            ).where(F.col("alias").isNotNull()) \
+             .join(F.broadcast(aliases.where(F.col("n_words") == w)),
                    on="alias", how="inner") \
              .select("url", "text", "lang", "alias", "entity_iri", "prior")
             out = cand if out is None else out.unionAll(cand)
@@ -179,8 +183,8 @@ def detect_mentions(pages: DataFrame, aliases: DataFrame,
     for w in sorted(widths):
         g = tokenized.select(
             "url",
-            F.explode(F.array_distinct(word_ngrams(F.col("__tok"), w)))
-             .alias("alias"))
+            F.explode_outer(F.array_distinct(word_ngrams(F.col("__tok"), w)))
+             .alias("alias")).where(F.col("alias").isNotNull())
         grams = g if grams is None else grams.unionAll(g)
     hits = grams.join(aliases, on="alias", how="inner") \
                 .select("url", "alias", "entity_iri", "prior")

@@ -50,16 +50,27 @@ def test_pair_ops_release_intermediates(spark, op):
                                     lazy=True),
 ])
 def test_pair_ops_lazy_mode_release_on_demand(spark, op):
-    """lazy=True: no eager checkpoint; intermediates stay attached to the
-    result until cache.release(result) — then the session is clean."""
+    """lazy=True: no eager checkpoint; any persisted intermediate stays
+    attached to the result until cache.release(result) — then the
+    session is clean. (minhash/simhash now persist nothing at all: their
+    signatures are zero-shuffle projections recomputed per use.)"""
     before = persistent_rdd_ids(spark)
     out = op(_docs(spark))
     out.count()  # single consumption (the lazy-mode contract)
-    assert getattr(out, "_mkgc_owned", []), \
-        "lazy result must carry its persisted intermediates"
     release(out)
     assert persistent_rdd_ids(spark) - before == set(), \
         "release(result) must free lazy-mode intermediates"
+
+
+def test_ngram_hot_path_lazy_owns_dfreq(spark):
+    """With a hot shingle (df_cap exceeded) the shared dfreq aggregate is
+    persisted; lazy mode attaches it to the result for deferred release."""
+    out = D.ngram_jaccard_topk(_docs(spark), "doc_id", "text", k=5,
+                               df_cap=3, lazy=True)
+    out.count()
+    assert getattr(out, "_mkgc_owned", []), \
+        "hot-path lazy result must carry the persisted dfreq"
+    release(out)
 
 
 @pytest.mark.parametrize("lazy", [False, True])

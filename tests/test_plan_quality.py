@@ -121,11 +121,15 @@ def test_ngram_adaptive_plan_no_python(spark):
 
     from morph_kgc_spark.operators.dedup import _ngram_topk, shingles
 
+    from morph_kgc_spark.operators.dedup import shingle_arrays
+
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     sh = shingles(docs, "doc_id", "text", 3)
+    sizes = shingle_arrays(docs, "doc_id", "text", 3).select(
+        F.col("doc_id"), F.size("grams").alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    for plan_df in (_ngram_topk(sh, None, "doc_id", 10, None),
-                    _ngram_topk(sh, dfreq, "doc_id", 10, 1000)):
+    for plan_df in (_ngram_topk(sh, sizes, None, "doc_id", 10, None),
+                    _ngram_topk(sh, sizes, dfreq, "doc_id", 10, 1000)):
         plan = _executed_plan(plan_df)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
