@@ -164,8 +164,18 @@ def _safe_eval_bool(v: str):
             if node.id in _EVAL_LOCALS:
                 return _EVAL_LOCALS[node.id]
         elif isinstance(node, ast.BoolOp):
-            vals = [ev(x) for x in node.values]
-            return (all if isinstance(node.op, ast.And) else any)(vals)
+            # short-circuit like python's and/or (and the reference's
+            # eval): "x == 1 or 1/0" must not evaluate the dead operand.
+            # Python semantics return the deciding OPERAND, not a bool.
+            last = None
+            for x in node.values:
+                last = ev(x)
+                if isinstance(node.op, ast.And):
+                    if not last:
+                        return last
+                elif last:
+                    return last
+            return last
         elif isinstance(node, ast.UnaryOp):
             if isinstance(node.op, ast.Not):
                 return not ev(node.operand)

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from morph_kgc_spark import model as M
+from morph_kgc_spark.plans.compiler import _ref_col
 
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDF_LIST = RDF + "List"
@@ -91,14 +92,14 @@ def gather_triples(df: DataFrame,
         melted = df.select(
             subject_col.alias("__subj"),
             (head_col if head_col is not None else F.lit(None)).alias("__head"),
-            F.explode(F.array(*[F.col(r) for r in gather_refs])).alias("__val"),
+            F.explode(F.array(*[_ref_col(r) for r in gather_refs])).alias("__val"),
         ).dropDuplicates().withColumn("__ord", F.col("__val"))
     else:
         melted = df.select(
             subject_col.alias("__subj"),
             (head_col if head_col is not None else F.lit(None)).alias("__head"),
-            F.col(gather_refs[0]).alias("__val"),
-            (order_col if order_col is not None else F.col(gather_refs[0])).alias("__ord"),
+            _ref_col(gather_refs[0]).alias("__val"),
+            (order_col if order_col is not None else _ref_col(gather_refs[0])).alias("__ord"),
         )
 
     kept = melted.na.drop("any", subset=["__val"])

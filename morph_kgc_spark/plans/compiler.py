@@ -188,11 +188,12 @@ def compile_term(tm: M.TermMap, *, datatype: Optional[str] = None,
         col = _ref_col(col_prefix + ref)
         if tm.termtype == M.IRI and tm.kind == M.TEMPLATE:
             col = percent_encode_col(col)
-        elif tm.termtype == M.IRI:
-            # plain reference in IRI position: assumed a correct IRI, NOT
-            # percent-encoded, whitespace-trimmed (same treatment as the
-            # FNML IRI path / reference materializer.py:183-186)
-            col = F.trim(col)
+        # plain reference in IRI position: assumed a correct IRI, NOT
+        # percent-encoded and NOT trimmed — the reference only strips
+        # FNML execution outputs (materializer.py:186); plain reference
+        # values are emitted verbatim, so whitespace-padded cells flow
+        # to the invalid-IRI data-error filter instead of being silently
+        # repaired (deliberate parity choice, round-4 advice)
         elif tm.termtype == M.LITERAL:
             col = natural_mapping_col(col, datatype)
             col = ntriples_escape_col(col)
@@ -348,11 +349,15 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
                             "parent_" if rule.parent_source is not None else "")):
             if tm is not None and tm.termtype == M.IRI \
                     and tm.kind in (M.REFERENCE, M.EXECUTION):
-                # trim before testing: the emitted IRI term is trimmed,
-                # so a whitespace-PADDED but otherwise valid value must
-                # survive this data-error filter too
-                raw = F.trim(compile_term(tm.but(termtype=""), wrap=False,
-                                          col_prefix=prefix))
+                raw = compile_term(tm.but(termtype=""), wrap=False,
+                                   col_prefix=prefix)
+                if tm.kind == M.EXECUTION:
+                    # execution outputs ARE trimmed on emission
+                    # (materializer.py:186), so a whitespace-padded but
+                    # otherwise valid value must survive this filter;
+                    # plain references are emitted verbatim and padded
+                    # values are data errors
+                    raw = F.trim(raw)
                 base = base.where(~raw.rlike(_INVALID_IRI_CHARS_RE))
 
     # --- term columns ------------------------------------------------------
@@ -431,13 +436,6 @@ def _compile_gather_rule(spark: SparkSession, rule: M.Rule,
     )
 
     g = rule.gather
-    src = rule.source
-    if src.kind in ("json", "python"):
-        src = M.Source(src.kind, src.value,
-                       {**src.options, "flatten": "structs"})
-    df = load_source(spark, src)
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
-
     subject_position = g.position == "subject"
     head_refs = g.head.references if g.head is not None else []
     if subject_position:
@@ -453,6 +451,25 @@ def _compile_gather_rule(spark: SparkSession, rule: M.Rule,
         if rule.predicate.kind != M.CONSTANT:
             raise ValueError("gather rules need a constant predicate map")
     scalar_refs = list(dict.fromkeys(scalar_refs))
+
+    src = rule.source
+    if src.kind in ("json", "python"):
+        src = M.Source(src.kind, src.value,
+                       {**src.options, "flatten": "structs"})
+    df = load_source(spark, src)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    if src is not rule.source:
+        # the array-preserving load keeps gather refs as arrays, but a
+        # SCALAR ref nested under an array (e.g. "items.name") only
+        # materializes under the full cartesian flatten — fall back to
+        # it when that resolves refs the structs mode cannot (then every
+        # ref is scalar and the grouped cross-row path below applies)
+        needed = set(scalar_refs) | set(g.references)
+        if not needed.issubset(dtypes):
+            full = load_source(spark, rule.source)
+            full_types = {f.name: f.dataType for f in full.schema.fields}
+            if len(needed & set(full_types)) > len(needed & set(dtypes)):
+                df, dtypes = full, full_types
 
     any_array = any(isinstance(dtypes.get(r), ArrayType)
                     for r in g.references)

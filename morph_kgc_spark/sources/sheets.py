@@ -21,7 +21,15 @@ _TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
 _OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
 _TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
 
+_REL_ID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+_PKG_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
+
 _CELL_REF_RE = re.compile(r"([A-Z]+)\d+$")
+
+# caps the grid-padding repeats LibreOffice writes for untouched sheet
+# area (16384 cols / 2^20 rows); interior repeated DATA runs this large
+# do not occur in dimension tables, and trailing empties are trimmed
+_MAX_REPEAT = 4096
 
 
 def _coerce(v: str):
@@ -49,6 +57,33 @@ def _col_index(ref: str | None, fallback: int) -> int:
     return idx - 1
 
 
+def _first_sheet_target(z: zipfile.ZipFile) -> str | None:
+    """Archive path of the workbook's FIRST sheet (pandas' default).
+
+    Resolved from xl/workbook.xml's sheet order + the workbook rels
+    (sheet files are not reliably named by tab order: reordering or
+    deleting tabs leaves e.g. sheet3.xml first). Falls back to the
+    lexicographically first sheetN.xml when either part is absent.
+    """
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        targets = {}
+        for rel in rels.iter(_PKG_REL):
+            t = rel.get("Target", "")
+            targets[rel.get("Id")] = t if t.startswith("/") else f"xl/{t}"
+        first = next(wb.iter(f"{_SSML}sheet"), None)
+        if first is not None:
+            target = targets.get(first.get(_REL_ID), "").lstrip("/")
+            if target in z.namelist():
+                return target
+    except (KeyError, ET.ParseError):
+        pass
+    names = sorted(n for n in z.namelist()
+                   if re.match(r"xl/worksheets/sheet\d+\.xml$", n))
+    return names[0] if names else None
+
+
 def read_xlsx(path: str) -> "pandas.DataFrame":  # noqa: F821
     import pandas as pd
 
@@ -59,11 +94,10 @@ def read_xlsx(path: str) -> "pandas.DataFrame":  # noqa: F821
             for si in root.iter(f"{_SSML}si"):
                 shared.append("".join(t.text or ""
                                       for t in si.iter(f"{_SSML}t")))
-        sheet_names = sorted(n for n in z.namelist()
-                             if re.match(r"xl/worksheets/sheet\d+\.xml$", n))
-        if not sheet_names:
+        first = _first_sheet_target(z)
+        if first is None:
             raise ValueError(f"no worksheets in {path!r}")
-        root = ET.fromstring(z.read(sheet_names[0]))
+        root = ET.fromstring(z.read(first))
         rows: list[list] = []
         for row in root.iter(f"{_SSML}row"):
             out: dict[int, object] = {}
@@ -102,24 +136,36 @@ def read_ods(path: str) -> "pandas.DataFrame":  # noqa: F821
     rows: list[list] = []
     for row in table.iter(f"{_TABLE}table-row"):
         out: list = []
-        for cell in row.findall(f"{_TABLE}table-cell"):
-            repeat = int(cell.get(f"{_TABLE}number-columns-repeated", "1"))
-            vtype = cell.get(f"{_OFFICE}value-type")
-            if vtype in ("float", "currency", "percentage"):
-                val = _coerce(cell.get(f"{_OFFICE}value"))
-            elif vtype == "boolean":
-                val = cell.get(f"{_OFFICE}boolean-value") == "true"
-            elif vtype is None and not list(cell):
+        for cell in row:
+            # covered-table-cell = the shadowed part of a merged range:
+            # it still occupies its grid columns, so it must produce a
+            # None placeholder (skipping it shifts every later column)
+            if cell.tag == f"{_TABLE}covered-table-cell":
                 val = None
+            elif cell.tag == f"{_TABLE}table-cell":
+                vtype = cell.get(f"{_OFFICE}value-type")
+                if vtype in ("float", "currency", "percentage"):
+                    val = _coerce(cell.get(f"{_OFFICE}value"))
+                elif vtype == "boolean":
+                    val = cell.get(f"{_OFFICE}boolean-value") == "true"
+                elif vtype is None and not list(cell):
+                    val = None
+                else:
+                    val = "\n".join("".join(p.itertext())
+                                    for p in cell.findall(f"{_TEXT}p")) or None
             else:
-                val = "\n".join("".join(p.itertext())
-                                for p in cell.findall(f"{_TEXT}p")) or None
+                continue
+            repeat = int(cell.get(f"{_TABLE}number-columns-repeated", "1"))
             # interior blank runs must repeat in FULL (values after them
             # belong to later columns); the cap only bounds the huge
             # grid-padding repeats (16384-column sheets), which the
             # trailing-empty trim below removes anyway
-            out.extend([val] * min(repeat, 4096))
-        rows.append(out)
+            out.extend([val] * min(repeat, _MAX_REPEAT))
+        # LibreOffice collapses identical consecutive rows the same way
+        # it collapses columns — an un-expanded repeat DROPS data rows
+        nrep = min(int(row.get(f"{_TABLE}number-rows-repeated", "1")),
+                   _MAX_REPEAT)
+        rows.extend(list(out) for _ in range(nrep))
     while rows and all(v is None for v in rows[-1]):
         rows.pop()
     width = max((len(r) for r in rows), default=0)

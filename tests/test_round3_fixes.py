@@ -83,9 +83,13 @@ def test_safe_eval_rejects_all_call_shapes():
             _safe_eval_bool(evil)
 
 
-def test_whitespace_padded_iri_reference_survives(spark):
-    """A reference-valued IRI with only leading/trailing whitespace is
-    trimmed and emitted, not dropped by the invalid-IRI data filter."""
+def test_whitespace_padded_iri_reference_is_data_error(spark):
+    """A reference-valued IRI with whitespace (padding OR internal) is a
+    data error: the reference emits plain reference values verbatim —
+    only FNML execution outputs are stripped (materializer.py:186) — so
+    this engine never repairs padding; the invalid-IRI filter drops the
+    row instead of emitting a whitespace-containing IRI term.
+    (Round-4 advice reversed round 3's trim-and-emit behavior here.)"""
     from morph_kgc_spark import model as M
     from morph_kgc_spark.sources.registry import default_registry
 
@@ -102,8 +106,8 @@ def test_whitespace_padded_iri_reference_survives(spark):
         ["ID", "URL"]))
     out = materialize(spark, [rule], registry=reg)
     objs = sorted(r.object for r in out.collect())
-    # row 2 has an INTERNAL space → still a data error, dropped
-    assert objs == [f"<{EX}ok>", f"<{EX}plain>"]
+    # rows 1 (padded) and 2 (internal space) are data errors, dropped
+    assert objs == [f"<{EX}plain>"]
 
 
 def test_load_udfs_supports_bif_protocol(tmp_path):
