@@ -37,6 +37,11 @@ class EngineConfig:
     only_printable: bool = False
     udf_path: str | None = None
     infer_sql_datatypes: bool = False
+    # OUR extension (not in the reference): W3C-correct natural mapping —
+    # declared-catalog SQL→XSD inference (fixing the reference's quoted
+    # column-name bug, relational_db.py:102-104) plus canonical lexical
+    # forms (3.0E1 doubles, true/false booleans, uppercase-hex binary)
+    strict_natural_mapping: bool = False
     db_urls: dict[str, str] = field(default_factory=dict)  # section → url
     output_file: str | None = None
 
@@ -69,6 +74,8 @@ def load_config(config: str) -> EngineConfig:
             out.udf_path = fp if os.path.isabs(fp) else os.path.join(base_dir, fp)
         out.infer_sql_datatypes = sec.getboolean(
             "infer_sql_datatypes", fallback=False)
+        out.strict_natural_mapping = sec.getboolean(
+            "strict_natural_mapping", fallback=False)
         out.output_file = sec.get("output_file") or sec.get("output_dir")
 
     for name in parser.sections():
@@ -120,13 +127,16 @@ def _override_source(src, path: str):
     return Source(kind, path, options)
 
 
-def _attach_db(src, db_url: str):
+def _attach_db(src, db_url: str, strict: bool = False):
     """Bind a data-source section's db_url to its table/sql sources."""
     if src is None or src.kind not in ("table", "sql"):
         return src
     from morph_kgc_spark.model import Source
 
-    return Source(src.kind, src.value, {**src.options, "db_url": db_url})
+    opts = {**src.options, "db_url": db_url}
+    if strict:
+        opts["lexical"] = "canonical"
+    return Source(src.kind, src.value, opts)
 
 
 def materialize_from_config(spark: SparkSession, config: str,
@@ -173,12 +183,29 @@ def materialize_from_config(spark: SparkSession, config: str,
                 ]
             db_url = cfg.db_urls.get(section)
             if db_url:
+                strict = cfg.strict_natural_mapping \
+                    and db_url.startswith("sqlite:")
                 section_rules = [
-                    r.but(source=_attach_db(r.source, db_url),
-                          parent_source=_attach_db(r.parent_source, db_url))
+                    r.but(source=_attach_db(r.source, db_url, strict),
+                          parent_source=_attach_db(r.parent_source, db_url,
+                                                   strict))
                     for r in section_rules
                 ]
-                if cfg.infer_sql_datatypes and db_url.startswith("sqlite:"):
+                if strict:
+                    # W3C-correct inference off the declared catalog
+                    # types (longest-match), canonical lexical forms
+                    # are applied by the source load (lexical option)
+                    from morph_kgc_spark.sources.relational import (
+                        infer_sql_datatypes,
+                        infer_xsd_datatype_strict,
+                        sqlite_catalog_type_lookup,
+                    )
+
+                    lookup = sqlite_catalog_type_lookup(db_url)
+                    section_rules = infer_sql_datatypes(
+                        section_rules, lookup,
+                        to_xsd=infer_xsd_datatype_strict)
+                elif cfg.infer_sql_datatypes and db_url.startswith("sqlite:"):
                     from morph_kgc_spark.sources.relational import (
                         infer_sql_datatypes,
                         sqlite_type_lookup,

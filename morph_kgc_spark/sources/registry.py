@@ -137,7 +137,8 @@ class SourceRegistry:
             if opts.get("db_url", "").startswith("sqlite:"):
                 from morph_kgc_spark.sources.relational import load_sqlite
 
-                return load_sqlite(spark, opts["db_url"], table=value)
+                return load_sqlite(spark, opts["db_url"], table=value,
+                                   lexical=opts.get("lexical", "raw"))
             return spark.read.table(value)
         if kind == "parquet":
             return spark.read.parquet(value)
@@ -168,7 +169,8 @@ class SourceRegistry:
             if opts.get("db_url", "").startswith("sqlite:"):
                 from morph_kgc_spark.sources.relational import load_sqlite
 
-                return load_sqlite(spark, opts["db_url"], query=value)
+                return load_sqlite(spark, opts["db_url"], query=value,
+                                   lexical=opts.get("lexical", "raw"))
             try:
                 return spark.sql(value)
             except Exception:

@@ -135,11 +135,37 @@ def infer_xsd_datatype(sql_type: str) -> Optional[str]:
     return None
 
 
+def infer_xsd_datatype_strict(sql_type: str) -> Optional[str]:
+    """SQL type name → XSD datatype, LONGEST-substring match.
+
+    The W3C-correct variant of :func:`infer_xsd_datatype`: first-match
+    dict order maps TIMESTAMP→xsd:time (via the earlier TIME entry) and
+    DATETIME→xsd:date; longest-match resolves to the intended
+    xsd:dateTime. Used by ``strict_natural_mapping`` mode only — the
+    default path stays byte-compatible with the reference.
+    """
+    t = sql_type.upper()
+    best: Optional[str] = None
+    best_len = -1
+    for k, v in SQL_RDF_DATATYPE.items():
+        if k in t and len(k) > best_len:
+            best, best_len = v, len(k)
+    return best
+
+
+def _undelimit(identifier: str) -> str:
+    """Strip R2RML delimited-identifier quotes: '"amount"' → 'amount'."""
+    if len(identifier) >= 2 and identifier[0] == '"' and identifier[-1] == '"':
+        return identifier[1:-1].replace('""', '"')
+    return identifier
+
+
 TypeLookup = Callable[[str, str], Optional[str]]
 
 
 def infer_sql_datatypes(rules: list[M.Rule], lookup: TypeLookup,
-                        source_kinds: tuple = ("jdbc", "table", "sql")) -> list[M.Rule]:
+                        source_kinds: tuple = ("jdbc", "table", "sql"),
+                        to_xsd: Callable[[str], Optional[str]] = None) -> list[M.Rule]:
     """Add inferred constant datatypes to RDB-sourced literal reference
     object maps (reference _infer_datatypes, mapping_parser.py:682-721).
 
@@ -156,7 +182,8 @@ def infer_sql_datatypes(rules: list[M.Rule], lookup: TypeLookup,
                 and rule.object.termtype == M.LITERAL
                 and rule.datatype is None and rule.language is None):
             sql_type = lookup(rule.source.value, rule.object.value)
-            xsd = infer_xsd_datatype(sql_type) if sql_type else None
+            conv = to_xsd if to_xsd is not None else infer_xsd_datatype
+            xsd = conv(sql_type) if sql_type else None
             if xsd:
                 rule = rule.but(datatype=M.TermMap(M.CONSTANT, xsd, M.IRI))
         out.append(rule)
@@ -215,8 +242,79 @@ def sqlite_type_lookup(db_url: str) -> TypeLookup:
     return lookup
 
 
+def sqlite_catalog_type_lookup(db_url: str) -> TypeLookup:
+    """DECLARED column type from the SQLite catalog (pragma_table_info)
+    — the lookup the reference *intended*: its
+    ``SELECT typeof('{column}')`` quotes the column name as a string
+    literal, so typeof is always 'text' and inference never fires
+    (relational_db.py:102-104). Used by ``strict_natural_mapping``.
+    """
+    import sqlite3
+
+    path = sqlite_path(db_url)
+
+    def lookup(table: str, column: str) -> Optional[str]:
+        try:
+            con = sqlite3.connect(path)
+            cur = con.execute(
+                "SELECT type FROM pragma_table_info(?) WHERE name = ?",
+                (_undelimit(table), _undelimit(column)))
+            row = cur.fetchone()
+            con.close()
+            return row[0] if row and row[0] else None
+        except Exception:
+            return None
+
+    return lookup
+
+
+def canonical_double(v: float) -> str:
+    """XSD canonical lexical form of xsd:double: '3.0E1', '8.025E1'.
+
+    Shortest round-trip digits (python repr) re-expressed with a single
+    nonzero leading digit and an 'E' exponent, ≥1 fractional digit —
+    the form the W3C R2RML natural-mapping outputs use.
+    """
+    import math
+    from decimal import Decimal
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "INF" if v > 0 else "-INF"
+    if v == 0:
+        return "-0.0E0" if math.copysign(1.0, v) < 0 else "0.0E0"
+    sign, digits, exp = Decimal(repr(float(v))).as_tuple()
+    dstr = "".join(map(str, digits)).rstrip("0") or "0"
+    e = len(digits) - 1 + exp  # power of ten of the leading digit
+    mant = dstr[0] + "." + (dstr[1:] or "0")
+    return ("-" if sign else "") + mant + "E" + str(e)
+
+
+def _canonical_sql_value(v, decl_type: Optional[str]):
+    """Canonical lexical form of one SQL value (strict natural mapping).
+
+    bytes → uppercase hex (xsd:hexBinary canonical); float → canonical
+    double; BOOLEAN-declared integers → true/false; everything else the
+    plain string form. R2RML §10.2 'natural RDF lexical form'.
+    """
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return v.hex().upper()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        if decl_type and "BOOL" in decl_type:
+            return "true" if v else "false"
+        return str(v)
+    if isinstance(v, float):
+        return canonical_double(v)
+    return str(v)
+
+
 def load_sqlite(spark, db_url: str, table: Optional[str] = None,
-                query: Optional[str] = None):
+                query: Optional[str] = None, lexical: str = "raw"):
     """Driver-side SQLite load. Test-scale databases only; a production
     deployment reads through JDBC with the pushed-down query from
     :func:`build_select`.
@@ -230,10 +328,24 @@ def load_sqlite(spark, db_url: str, table: Optional[str] = None,
     import sqlite3
 
     con = sqlite3.connect(sqlite_path(db_url))
-    sql = query if query is not None else f'SELECT * FROM "{table}"'
+    sql = query if query is not None else \
+        f'SELECT * FROM "{_undelimit(table)}"'
     cur = con.execute(sql)
     columns = [d[0] for d in cur.description]
     rows = cur.fetchall()
+    if lexical == "canonical":
+        # strict natural mapping: every value to its canonical lexical
+        # form driver-side (floats → 3.0E1, blobs → uppercase hex,
+        # BOOLEAN columns → true/false), using the declared column
+        # types from the catalog when the source is a table
+        decls: dict[str, str] = {}
+        if table is not None:
+            for _, name, ctype, *_ in con.execute(
+                    "SELECT * FROM pragma_table_info(?)",
+                    (_undelimit(table),)):
+                decls[name] = (ctype or "").upper()
+        rows = [tuple(_canonical_sql_value(v, decls.get(c))
+                      for v, c in zip(r, columns)) for r in rows]
     con.close()
     if not rows:
         from pyspark.sql.types import StringType, StructField, StructType
