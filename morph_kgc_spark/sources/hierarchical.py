@@ -116,6 +116,43 @@ def json_source(spark: SparkSession, path: str, iterator: str = "$.*",
 # an XPath iterator step: a plain element name (no predicates/functions)
 _XPATH_STEP_RE = re.compile(r"^[A-Za-z_][\w.:-]*$")  # ':' = XML namespaces
 
+# last-step predicate subset: [@attr='v'] / [@attr="v"] / [n]
+_XPATH_PRED_RE = re.compile(
+    r"^(?P<name>[A-Za-z_][\w.:-]*)\[(?:"
+    r"@(?P<attr>[\w.:-]+)\s*=\s*(?P<q>['\"])(?P<val>[^'\"]*)(?P=q)"
+    r"|(?P<pos>[1-9]\d*)"
+    r")\]$")
+
+
+def _parse_last_step(iterator: str):
+    """(rowTag, predicate | None) for the iterator's LAST step.
+
+    Supported predicates (matching elementpath's behavior on these
+    shapes, reference data_file.py:188-253): attribute equality
+    ``item[@type='book']`` and position ``item[2]``. Predicates on
+    intermediate steps, functions, and anything else stay a loud
+    rejection — the honest supported-surface boundary.
+    """
+    steps = [s for s in iterator.strip().split("/") if s not in ("", "*")]
+    if not steps:
+        return None, None  # '/' or '/*': the document ROOT is the row
+    for s in steps[:-1]:
+        if not _XPATH_STEP_RE.match(s) and s != ".":
+            raise ValueError(
+                f"unsupported XPath step {s!r} in iterator {iterator!r} "
+                "(predicates are only supported on the last step)")
+    last = steps[-1]
+    if _XPATH_STEP_RE.match(last):
+        return last, None
+    m = _XPATH_PRED_RE.match(last)
+    if m:
+        if m.group("attr") is not None:
+            return m.group("name"), ("attr", m.group("attr"), m.group("val"))
+        return m.group("name"), ("pos", int(m.group("pos")))
+    raise ValueError(
+        f"unsupported XPath step {last!r} in iterator {iterator!r} "
+        "(only [@attr='v'] and [n] predicates are supported)")
+
 
 def xpath_row_tag(iterator: str) -> str:
     """Last element step of an XPath iterator → Spark XML rowTag.
@@ -125,23 +162,14 @@ def xpath_row_tag(iterator: str) -> str:
     absolute/descendant paths RML test cases use (``/students/student``,
     ``//student``, ``students/student``) as long as the tag name is not
     reused at other depths — the common case for data documents.
-    Supported-surface DECISION (round 3): predicates/functions
-    (``student[1]``, ``student[@id='x']``) are rejected explicitly, not
-    implemented. The reference evaluates full XPath 3.0 driver-side via
-    elementpath (data_file.py:188-253), which cannot be pushed into a
-    distributed rowTag scan; no case in the reference's own 386-case
-    test tree uses them, so the loud error is the honest boundary
-    (tests/test_sources.py pins it).
+    Last-step predicates ``[@attr='v']`` / ``[n]`` are supported as
+    post-scan filters (:func:`_parse_last_step`); other predicate and
+    function forms are rejected explicitly. The reference evaluates
+    full XPath 3.0 driver-side via elementpath (data_file.py:188-253),
+    which cannot be pushed into a distributed rowTag scan; the loud
+    error is the honest boundary (tests/test_sources.py pins it).
     """
-    steps = [s for s in iterator.strip().split("/") if s not in ("", "*")]
-    if not steps:
-        return None  # '/' or '/*': the document ROOT is the single row
-    last = steps[-1]
-    if not _XPATH_STEP_RE.match(last):
-        raise ValueError(
-            f"unsupported XPath step {last!r} in iterator {iterator!r} "
-            "(predicates and functions are not supported)")
-    return last
+    return _parse_last_step(iterator)[0]
 
 
 def _xml_leaf_name(name: str) -> str:
@@ -220,20 +248,51 @@ def _sniff_root_tag(path: str) -> str:
     return m.group(1)
 
 
+def _apply_xpath_predicate(df: DataFrame, predicate, row_tag: str,
+                           iterator: str) -> DataFrame:
+    """Post-scan filter for a supported last-step predicate.
+
+    ``[@attr='v']``: equality on the row element's own attribute (the
+    scan exposes it as ``_attr``); an absent attribute never matches,
+    like elementpath. ``[n]``: the n-th matched element in DOCUMENT
+    order — positional semantics need a total order, so it is evaluated
+    per input file via the scan's row order (single-file test-scale
+    sources; a multi-file distributed scan has no global document order
+    and positional predicates on it are rejected by construction since
+    the order id is per-partition-monotonic only within one file scan).
+    """
+    if predicate[0] == "attr":
+        _, attr, val = predicate
+        col = f"_{attr}"
+        if col not in df.columns:
+            return df.where(F.lit(False))
+        return df.where(F.col(f"`{col}`").cast("string") == F.lit(val))
+    _, pos = predicate
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return (df.withColumn("__xp_pos", F.row_number().over(w))
+            .where(F.col("__xp_pos") == pos).drop("__xp_pos"))
+
+
 def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
                iterator: str | None = None, flatten: bool = True) -> DataFrame:
     """XML scan with an XPath iterator (subset) per reference
     data_file.py:188-253. ``iterator`` (e.g. ``/students/student``)
     derives the rowTag; references then address flattened columns:
     ``name``, ``@id``, ``address/city``, ``route/stop/@id``."""
+    predicate = None
     if row_tag is None:
         if iterator is None:
             raise ValueError("xml source needs rowTag or iterator")
-        row_tag = xpath_row_tag(iterator) or _sniff_root_tag(path)
+        row_tag, predicate = _parse_last_step(iterator)
+        row_tag = row_tag or _sniff_root_tag(path)
     # inferSchema off: XPath semantics are lexical — "30.0E0" must stay
     # the string "30.0E0", not become double 30.0 (RMLTC0005a)
     df = (spark.read.format("xml").option("rowTag", row_tag)
           .option("inferSchema", "false").load(path))
+    if predicate is not None:
+        df = _apply_xpath_predicate(df, predicate, row_tag, iterator)
     if not flatten:
         return df
     df = flatten_xml(df)

@@ -185,3 +185,50 @@ def test_stream_triples_available_now(spark, tmp_path):
         (f"<{EX}cust/1>", f"<{EX}nation/FRANCE>"),
         (f"<{EX}cust/2>", f"<{EX}nation/PERU>"),
     }
+
+
+def test_streaming_sessionize_available_now(spark, tmp_path):
+    """The stateful sessionize (applyInPandasWithState) run to
+    COMPLETION: file micro-batch source → availableNow → memory sink.
+    Closed sessions are emitted two ways and BOTH must be observed:
+    user 1's first session is closed mid-stream by a later event past
+    the gap; user 2's idle session is flushed by the EVENT-TIME TIMEOUT
+    when the watermark (max event time − 10 min = 02:00) passes its
+    last_seen + gap (00:35). User 1's final session stays open (timeout
+    02:40 > watermark) and must NOT be emitted."""
+    from morph_kgc_spark.operators.events import sessionize
+    from morph_kgc_spark.streaming.sessionize import streaming_sessionize
+
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 2 h gap
+        # opens session 2 — the gap CLOSES session 1 mid-stream
+        (1, "2024-01-01 00:00:00", 100),
+        (1, "2024-01-01 00:10:00", 101),
+        (1, "2024-01-01 02:10:00", 102),
+        # user 2: a single (never-closed) session
+        (2, "2024-01-01 00:05:00", 200),
+    ]
+    src = tmp_path / "sess_in"
+    batch = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch.write.mode("overwrite").parquet(str(src))
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, event_id long")
+              .parquet(str(src)))
+    out = streaming_sessionize(stream, watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("t_sessionize")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    streamed = {(r.user_id, r.n_events, r.start_epoch, r.end_epoch)
+                for r in spark.sql("select * from t_sessionize").collect()}
+
+    # batch twin gives the session boundaries; the streaming run emits
+    # every session except user 1's final one (still open at shutdown)
+    twin = {(r.user_id, r.n_events, r.start_epoch, r.end_epoch)
+            for r in sessionize(batch).collect()}
+    # user 1's open session starts at 02:10:00 = epoch 1704075000
+    expected = {t for t in twin if not (t[0] == 1 and t[2] == 1704075000)}
+    assert streamed == expected, (streamed, twin)
+    assert len(streamed) == 2, "gap-closed AND timeout-flushed sessions"

@@ -77,7 +77,12 @@ XFAIL = {
         "R2RMLTC0020a)",
 }
 
-BNODE_RE = re.compile(r"_:[A-Za-z0-9_.-]+")
+from morph_kgc_spark.compare import (  # noqa: F401 — re-exported for
+    BNODE_RE,  # sibling test modules (test_canonicalizer, strict natmap)
+    canonical_nquads as _canon,
+    canonical_triples as _canonical_lines,
+    tokenize_nquads as _tokenize_nq,
+)
 
 
 def _cases():
@@ -110,133 +115,6 @@ def _expects_error(case_dir: str, expected: list[str]) -> bool:
             if "assert False" in body and "except" in body:
                 return True
     return False
-
-
-def _tokenize_nq(line: str) -> list[str]:
-    """Split an N-Quads line into terms, treating << and >> as tokens —
-    serializations differ in whitespace around quoted triples."""
-    toks, i, n = [], 0, len(line)
-    while i < n:
-        while i < n and line[i] in " \t":
-            i += 1
-        if i >= n:
-            break
-        if line.startswith("<<", i):
-            toks.append("<<")
-            i += 2
-        elif line.startswith(">>", i):
-            toks.append(">>")
-            i += 2
-        elif line[i] == "<":
-            j = line.index(">", i)
-            toks.append(line[i:j + 1])
-            i = j + 1
-        elif line[i] == '"':
-            j = i + 1
-            while j < n:
-                if line[j] == "\\":
-                    j += 2
-                    continue
-                if line[j] == '"':
-                    break
-                j += 1
-            j += 1
-            # datatype/lang suffix up to whitespace or '>>'
-            while j < n and line[j] not in " \t" and not line.startswith(">>", j):
-                j += 1
-            toks.append(line[i:j])
-            i = j
-        else:
-            j = i
-            while j < n and line[j] not in " \t" and not line.startswith(">>", j):
-                j += 1
-            toks.append(line[i:j])
-            i = j
-    return toks
-
-
-def _canon(lines: list[str]) -> list[str]:
-    """Isomorphism-safe canonical form: deterministic bnode relabeling by
-    signature (color refinement + individualization with backtracking-min
-    tie-breaks), so list-chain STRUCTURE is verified — the reference's own
-    tests compare with rdflib.compare.isomorphic. The previous regex
-    canonicalizer collapsed every bnode to one token (chain structure
-    unchecked) and split labels containing '_' (spurious mismatches on
-    the rml-cc suite's `_:bnode_subject1` style labels)."""
-    triples: list[list[str]] = []
-    for ln in lines:
-        ln = ln.strip()
-        if ln.endswith("."):
-            ln = ln[:-1].strip()
-        triples.append(_tokenize_nq(ln))
-    return _canonical_lines(triples)
-
-
-def _canonical_lines(triples: list[list[str]]) -> list[str]:
-    import hashlib
-
-    def h(s: str) -> str:
-        return hashlib.md5(s.encode()).hexdigest()
-
-    bnodes = sorted({t for tr in triples for t in tr
-                     if BNODE_RE.fullmatch(t)})
-    if not bnodes:
-        return sorted(" ".join(tr) for tr in triples)
-
-    def refine(colors: dict[str, str], rounds: int) -> dict[str, str]:
-        for _ in range(rounds):
-            sigs = {b: [] for b in colors}
-            for tr in triples:
-                if not any(t in colors for t in tr):
-                    continue
-                for i, t in enumerate(tr):
-                    if t in colors:
-                        ctx = tuple(colors.get(x, x) for j, x in enumerate(tr)
-                                    if j != i)
-                        sigs[t].append((i,) + ctx)
-            nxt = {b: h(colors[b] + repr(sorted(sigs[b])))
-                   for b in colors}
-            if nxt == colors:
-                break
-            colors = nxt
-        return colors
-
-    def serialize(colors: dict[str, str]) -> list[str] | None:
-        """Final names by color rank; None if colors are not all distinct."""
-        ranked = sorted(set(colors.values()))
-        if len(ranked) < len(colors):
-            return None
-        rank = {c: f"_:c{i}" for i, c in enumerate(ranked)}
-        return sorted(" ".join(rank[colors[t]] if t in colors else t
-                               for t in tr) for tr in triples)
-
-    def search(colors: dict[str, str], depth: int) -> list[str]:
-        colors = refine(colors, len(bnodes) + 2)
-        out = serialize(colors)
-        if out is not None:
-            return out
-        if depth > 8:  # pathological symmetry: fall back greedily
-            order = sorted(colors, key=lambda b: (colors[b], b))
-            forced = {b: h(colors[b] + str(i)) for i, b in enumerate(order)}
-            return serialize(refine(forced, 1)) or sorted(
-                " ".join(forced.get(t, t) for t in tr) for tr in triples)
-        # individualize one member of the smallest ambiguous class; try
-        # each member, keep the lexicographically smallest canonical form
-        by_color: dict[str, list[str]] = {}
-        for b, c in colors.items():
-            by_color.setdefault(c, []).append(b)
-        cls = min((v for v in by_color.values() if len(v) > 1),
-                  key=lambda v: (len(v), colors[v[0]]))
-        best = None
-        for b in sorted(cls):
-            trial = dict(colors)
-            trial[b] = h(colors[b] + "!ind")
-            cand = search(trial, depth + 1)
-            if best is None or cand < best:
-                best = cand
-        return best
-
-    return search({b: "" for b in bnodes}, 0)
 
 
 def _read_expected(case_dir: str) -> list[str]:

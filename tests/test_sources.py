@@ -123,13 +123,55 @@ def test_xml_xpath_iterator_nested_and_attrs(spark, tmp_path):
     assert len(rows) == 3
 
 
-def test_xml_xpath_rejects_predicates():
+def test_xml_xpath_rejects_unsupported_predicates():
     from morph_kgc_spark.sources.hierarchical import xpath_row_tag
 
+    # supported last-step predicates parse to the element name
+    assert xpath_row_tag("/students/student[1]") == "student"
+    assert xpath_row_tag("/items/item[@type='book']") == "item"
+    # functions / intermediate-step predicates stay a loud rejection
     with pytest.raises(ValueError, match="predicates"):
-        xpath_row_tag("/students/student[1]")
+        xpath_row_tag("/a[1]/b")
+    with pytest.raises(ValueError, match="predicate"):
+        xpath_row_tag("/items/item[position()=1]")
+    with pytest.raises(ValueError, match="predicate"):
+        xpath_row_tag("/items/item[@a='1' and @b='2']")
     assert xpath_row_tag("//student") == "student"
     assert xpath_row_tag("students/student") == "student"
+
+
+_ITEMS_XML = """<items>
+  <item type="book"><title>Dune</title></item>
+  <item type="cd"><title>Kind of Blue</title></item>
+  <item type="book"><title>Emma</title></item>
+</items>"""
+
+
+def test_xml_xpath_attribute_predicate(spark, tmp_path):
+    """item[@type='book'] filters like elementpath: attribute equality
+    on the row element, absent attribute never matches."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "items.xml")
+    with open(p, "w") as f:
+        f.write(_ITEMS_XML)
+    df = xml_source(spark, p, iterator="/items/item[@type='book']")
+    titles = sorted(r["title"] for r in df.collect())
+    assert titles == ["Dune", "Emma"]
+    # no element carries @missing → zero rows, not an error
+    df2 = xml_source(spark, p, iterator="/items/item[@missing='x']")
+    assert df2.count() == 0
+
+
+def test_xml_xpath_positional_predicate(spark, tmp_path):
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "items.xml")
+    with open(p, "w") as f:
+        f.write(_ITEMS_XML)
+    df = xml_source(spark, p, iterator="/items/item[2]")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["title"] == "Kind of Blue"
 
 
 def test_materialize_from_xml_mapping_with_iterator(spark, tmp_path):
