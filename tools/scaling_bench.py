@@ -34,16 +34,22 @@ import time, sys
 sys.path.insert(0, {repo!r})
 from bench import build_spark
 from morph_kgc_spark.pipeline.pages import run_pipeline
+from morph_kgc_spark.operators.cache import release
 spark = build_spark({cores})
 spark.sparkContext.setLogLevel("ERROR")
 # full-size warmup, discarded: a small warmup leaves whole-stage codegen
 # and the GC heap cold and the first timed trial runs ~3x slow
-run_pipeline(spark, {pages}).count()
+out = run_pipeline(spark, {pages}); out.count(); release(out)
 times = []
 n = 0
 for _ in range({repeats}):
     t0 = time.time()
-    n = run_pipeline(spark, {pages}).count()
+    out = run_pipeline(spark, {pages})
+    n = out.count()
+    # release INSIDE the trial: every trial is a full honest recompute
+    # (round 3 leaked the linked persist, so trials 2+ were cache-warm
+    # at BOTH levels; releasing keeps the ratio honest and the heap flat)
+    release(out)
     times.append(round(time.time() - t0, 2))
 print("SCALERESULT", {cores}, n, ",".join(str(t) for t in times))
 spark.stop()
