@@ -130,7 +130,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def _grouped_pairs(df: DataFrame, keys: list[str], item,
-                   bucket_cap: int | None = None) -> DataFrame:
+                   bucket_cap: int | None = None,
+                   extra_cols: list[str] = ()) -> DataFrame:
     """All unordered item pairs within each key group — ONE shuffle.
 
     ``groupBy(keys) + sort_array(collect_list(item))`` then a per-row
@@ -173,8 +174,10 @@ def _grouped_pairs(df: DataFrame, keys: list[str], item,
     # explode_outer: a plain explode makes InferFiltersFromGenerate
     # duplicate the whole pair-generation lambda into a size()>0 Filter
     # (evaluated interpreted, once more per group)
-    return (grouped.select(F.explode_outer(pairs).alias("p"))
-            .where(F.col("p").isNotNull()).select("p.a", "p.b"))
+    extra = list(extra_cols)
+    return (grouped.select(*extra, F.explode_outer(pairs).alias("p"))
+            .where(F.col("p").isNotNull())
+            .select(*extra, F.col("p.a").alias("a"), F.col("p.b").alias("b")))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -196,26 +199,46 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     del lazy  # no cached intermediates remain in this formulation
     sigs = minhash_signatures(df, id_col, text_col, n)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[
-                F.col(f"sig_{b * LSH_ROWS + r}").cast("string")
-                for r in range(LSH_ROWS)
-            ])).alias("bucket"),
-        )
+    buckets = F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.col(f"sig_{b * LSH_ROWS + r}").cast("string")
+            for r in range(LSH_ROWS)
+        ]))
         for b in range(LSH_BANDS)
     ])
-    # one explode instead of LSH_BANDS unions (which would recompute the
-    # signature projection per band)
-    bands = sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    return (
-        _grouped_pairs(bands, ["band", "bucket"], F.col(id_col), bucket_cap)
-        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
-        .dropDuplicates()
+    # one explode of the band INDEX instead of LSH_BANDS unions (which
+    # would recompute the signature projection per band); every item
+    # carries its full bucket vector so cross-band dedup is a per-pair
+    # lambda, not a shuffle (see below)
+    bands = sigs.select(F.col(id_col), buckets.alias("bkts")).select(
+        F.col(id_col), F.col("bkts"),
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+    ).select(
+        id_col, "bkts", "band",
+        F.element_at("bkts", F.col("band") + 1).alias("bucket"),
     )
+    item = F.struct(F.col(id_col).alias("id"), F.col("bkts").alias("bkts"))
+    pairs = _grouped_pairs(bands, ["band", "bucket"], item, bucket_cap,
+                           extra_cols=["band"])
+    if bucket_cap is None:
+        # FIRST-MATCHING-BAND dedup: a pair sharing k bands would come
+        # out k times; instead of a full dropDuplicates shuffle of the
+        # pair set (at corpus scale: a shuffle as large as the
+        # candidate set), keep the pair only in the lowest band where
+        # its buckets agree — a row-local array comparison. With
+        # bucket_cap the star strategy can suppress a pair in its first
+        # band, so the shuffle dedup remains the correct fallback.
+        earlier_match = F.exists(
+            F.zip_with(F.slice(F.col("a.bkts"), 1, F.col("band")),
+                       F.slice(F.col("b.bkts"), 1, F.col("band")),
+                       lambda x, y: x == y),
+            lambda eq: eq)
+        return (pairs.where(~earlier_match)
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b")))
+    return (pairs.select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"))
+            .dropDuplicates())
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
