@@ -31,7 +31,11 @@ from morph_kgc_spark.functions.hashing import (
     perm,
 )
 from morph_kgc_spark.operators import cache
-from morph_kgc_spark.operators.text import tokens, word_ngrams
+from morph_kgc_spark.operators.text import (
+    _parallelize_narrow,
+    tokens,
+    word_ngrams,
+)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -46,27 +50,6 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
     )
-
-
-def _parallelize_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
-    """Repartition a scan that is narrower than the cluster.
-
-    The heavy per-row work downstream (tokenize → n-gram → hash) is CPU
-    bound; a small corpus arriving as one parquet file is ONE partition,
-    so that work runs single-threaded no matter how many cores exist —
-    AQE cannot help because the scan partitioning is fixed upstream of
-    any shuffle. At real scale the input has thousands of file splits
-    (≥ parallelism) and this is a NO-OP — the repartition shuffle is
-    only paid when the input is small enough for it to be trivial.
-
-    With ``key`` the repartition is HASH(key) instead of round-robin:
-    a downstream groupBy(key) then reuses the partitioning and skips
-    its own exchange — the parallelize shuffle does double duty.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key) if key else df.repartition(target)
-    return df
 
 
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
