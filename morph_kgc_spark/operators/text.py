@@ -43,6 +43,8 @@ def _parallelize_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
     a downstream groupBy(key) then reuses the partitioning and skips
     its own exchange — the parallelize shuffle does double duty.
     """
+    if df.isStreaming:  # .rdd is illegal on streams; micro-batches
+        return df       # inherit the source's own parallelism
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, key) if key else df.repartition(target)
