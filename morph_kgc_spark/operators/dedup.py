@@ -574,18 +574,32 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
             F.concat_ws("#", F.col("block"), sign_bits).alias("block"),
             "v",
         )
-    a = v.select(F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), "block", F.col("v").alias("vb"))
+    # norms are computed ONCE PER VECTOR before the join — inside the
+    # pair projection they would re-run per PAIR (O(pairs·dim) extra
+    # interpreted lambda work, 3× the per-pair cost; same float order,
+    # so values are bit-identical). The EXPLICIT repartition defeats
+    # AQE's post-shuffle coalescing: the pre-join shuffle is tiny
+    # (vectors) so AQE folds it to few partitions, but the join OUTPUT
+    # is the within-block quadratic — the stage that needs the cores.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    v = v.select(
+        F.col(id_col), "block", "v",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                           F.lit(0.0), lambda a_, x: a_ + x)).alias("nrm"),
+    ).repartition(n_parts, "block")
+    a = v.select(F.col(id_col).alias("id_a"), "block",
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col(id_col).alias("id_b"), "block",
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
-    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
     return (
         a.join(b, on="block", how="inner")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cos_sim"))
+        .select("id_a", "id_b",
+                F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from morph_kgc_spark.operators.text import _parallelize_narrow
+
 
 def _dot(a, b) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -37,8 +39,12 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     Returns (query_id, neighbor_id, rank, cos_sim). Assumes L2-normalized
     vectors (cosine == dot); broadcast the (small) query side.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("cv"))
+    # parallelize a narrow single-file corpus scan: the broadcast join
+    # keeps the corpus side's partitioning, so a 1-partition scan would
+    # run every dot product in one task
+    c = _parallelize_narrow(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"))
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
                                    F.col(vec_col).cast("array<double>").alias("qv")))
     scored = (
@@ -72,9 +78,10 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     size ~ n/2^bits; high-cosine pairs agree in sign wherever |x| is
     non-negligible, so small ``bits`` keeps recall high.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("cv")) \
-              .withColumn("bucket", sign_bucket(F.col("cv"), bits))
+    c = _parallelize_narrow(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv")) \
+        .withColumn("bucket", sign_bucket(F.col("cv"), bits))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv")) \
                .withColumn("bucket", sign_bucket(F.col("qv"), bits))
@@ -103,8 +110,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     element-wise avg — deterministic (sum of doubles per partition is
     made order-stable by aggregating in cell, position order).
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(cell_col).alias("cell"),
-                      F.col(vec_col).cast("array<double>").alias("cv"))
+    c = _parallelize_narrow(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(cell_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
 
