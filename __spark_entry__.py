@@ -441,6 +441,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_dedup_minhash_capped(spark, sf_dir):
+    """MinHash LSH pairs with the degenerate-bucket skew cap: buckets
+    larger than 2 emit a STAR (min-id hub paired with each member,
+    connectivity-preserving) instead of the full quadratic — the
+    100 TB guard against boilerplate buckets, exercised at test scale
+    with a tiny cap so the oracle verifies the star semantics."""
+    return D.minhash_lsh_pairs(_read(spark, sf_dir, "documents"),
+                               "doc_id", "text", bucket_cap=2)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -658,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_capped": q_dedup_minhash_capped,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -701,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracles.ann_lsh_topk(),
         "dedup_exact": oracles.dedup_exact(),
         "dedup_minhash_lsh": oracles.dedup_minhash_lsh(),
+        "dedup_minhash_capped": oracles.dedup_minhash_capped(),
         "dedup_simhash": oracles.dedup_simhash(),
         "dedup_simhash_pairs": oracles.dedup_simhash_pairs(),
         "dedup_ngram_jaccard": oracles.dedup_ngram_jaccard_topk(),

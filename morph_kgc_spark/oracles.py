@@ -242,6 +242,48 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def dedup_minhash_capped(cap: int = 2) -> str:
+    """Twin of minhash_lsh_pairs(bucket_cap=cap): buckets larger than
+    ``cap`` contribute a star (min-id hub → each other member) instead
+    of all pairs; under the cap the full pair set is unchanged. The
+    hub condition ``a.doc_id = min(doc_id) OVER (bucket)`` combined
+    with ``a.doc_id < b.doc_id`` yields exactly the star edges."""
+    h = h64_sql("shingle")
+    sig_cols = ",\n         ".join(
+        f"min({perm_sql(h, i)}) AS sig_{i}" for i in range(N_PERMS)
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"CAST(sig_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_shingles_cte(3)},
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+counted AS (
+  SELECT doc_id, band, bucket,
+         count(*) OVER (PARTITION BY band, bucket) AS bn,
+         min(doc_id) OVER (PARTITION BY band, bucket) AS hub
+  FROM bands
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM counted a JOIN counted b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+  AND (a.bn <= {cap} OR a.doc_id = a.hub)
+"""
+
+
 def dedup_simhash(bits: int = 32) -> str:
     h = h64_sql("token")
     sums = ",\n         ".join(
