@@ -11,6 +11,13 @@ equal — list-chain STRUCTURE included (a reversed rdf:List chain is
 detected, unlike label-stripping comparators). Property-tested in
 tests/test_canonicalizer.py: relabeling-invariant, mutation-sensitive.
 
+Known limit: past 8 levels of individualization (pathologically
+symmetric graphs that color refinement cannot separate — regular
+bnode-only structures far beyond anything RML emits), the search falls
+back to a label-order heuristic, so ``isomorphic`` may false-negative
+there; within the search depth the minimum-form backtracking makes the
+result label-independent.
+
 Driver-side by design: expected outputs and conformance fixtures are
 small. For corpus-scale set comparison, join the two triple DataFrames
 instead — isomorphism at 10^12 triples is not a meaningful operation.
@@ -39,7 +46,10 @@ def tokenize_nquads(line: str) -> list[str]:
             toks.append(">>")
             i += 2
         elif line[i] == "<":
-            j = line.index(">", i)
+            j = line.find(">", i)
+            if j < 0:
+                raise ValueError(
+                    f"malformed N-Quads line (unclosed IRI): {line!r}")
             toks.append(line[i:j + 1])
             i = j + 1
         elif line[i] == '"':

@@ -37,6 +37,12 @@ def own(result: DataFrame, intermediates: list[DataFrame]) -> DataFrame:
     ``own`` records those intermediates on the returned wrapper so that
     :func:`release` frees them afterwards. Ownership composes: owning an
     already-owning frame chains its dependencies.
+
+    Ownership lives on the PYTHON WRAPPER object, not the plan: any
+    transformation (``df.where(...)``, ``df.select(...)``) returns a new
+    wrapper without it — release the frame the operator RETURNED, not a
+    derivative, or chain the ownership forward explicitly with
+    ``own(derived, [original])``.
     """
     owned = list(getattr(result, "_mkgc_owned", ()))
     for dep in intermediates:

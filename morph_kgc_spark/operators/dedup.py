@@ -175,12 +175,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     size, so collecting a bucket into a row is safe where it is NOT for
     simhash's coarse bands), and the cross-band pair dedup. The
     signature stream is consumed exactly once (no self-join), so
-    nothing is persisted and the operator is hygiene-clean in every
-    mode; ``lazy`` is accepted for API stability and changes nothing.
-    ``bucket_cap`` star-pairs degenerate buckets (see
-    :func:`_grouped_pairs`).
+    nothing is PERSISTED in either mode — but the default mode still
+    eagerly ``localCheckpoint``-s the (small) pair result so multi-read
+    consumers (e.g. ``dup_clusters``' both-direction edge union) do not
+    recompute the whole tokenize→minhash→pair pipeline per read, the
+    same contract as the sibling pair operators; ``lazy=True`` skips
+    that for single-read callers. ``bucket_cap`` star-pairs degenerate
+    buckets (see :func:`_grouped_pairs`).
     """
-    del lazy  # no cached intermediates remain in this formulation
     sigs = minhash_signatures(df, id_col, text_col, n)
     buckets = F.array(*[
         F.md5(F.concat_ws("|", *[
@@ -216,12 +218,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                        F.slice(F.col("b.bkts"), 1, F.col("band")),
                        lambda x, y: x == y),
             lambda eq: eq)
-        return (pairs.where(~earlier_match)
-                .select(F.col("a.id").alias("id_a"),
-                        F.col("b.id").alias("id_b")))
-    return (pairs.select(F.col("a.id").alias("id_a"),
-                         F.col("b.id").alias("id_b"))
-            .dropDuplicates())
+        out = (pairs.where(~earlier_match)
+               .select(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b")))
+    else:
+        out = (pairs.select(F.col("a.id").alias("id_a"),
+                            F.col("b.id").alias("id_b"))
+               .dropDuplicates())
+    return out if lazy else out.localCheckpoint()
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,

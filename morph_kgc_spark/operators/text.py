@@ -45,6 +45,18 @@ def _parallelize_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
     """
     if df.isStreaming:  # .rdd is illegal on streams; micro-batches
         return df       # inherit the source's own parallelism
+    try:
+        # only probe partition counts for SCAN-shaped inputs: under AQE,
+        # df.rdd on a plan with exchanges EXECUTES those upstream stages
+        # in a throwaway QueryExecution (the later real action does not
+        # reuse them). For joins/aggregates the input is already
+        # shuffle-partitioned to cluster width — the guard is moot there.
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(n in plan for n in ("Join", "Aggregate", "Window",
+                                   "Repartition", "Deduplicate", "Sort")):
+            return df
+    except Exception:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, key) if key else df.repartition(target)
@@ -180,14 +192,20 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     vs this plan's sub-second single shuffle; terms stay < 2^51 before
     the final mod for any realistic doc, so the sum cannot overflow.
     """
+    # posexplode_outer WITHOUT a not-null filter: a NULL text yields one
+    # (null, null) row, keeping the doc's GROUP alive so it fingerprints
+    # to 0 (the array-lambda formulation's behavior) instead of silently
+    # vanishing from the output; split() never returns an empty array,
+    # so no real token is ever null
     pe = _parallelize_narrow(df, id_col).select(
         F.col(id_col),
         F.posexplode_outer(tokens(F.col(text_col))).alias("__pos", "__tok"),
-    ).where(F.col("__tok").isNotNull())
+    )
     term = (h64(F.col("__tok")) % F.lit(P31)) \
         * (F.col("__pos") + 1).cast("long") % F.lit(P31)
     return (pe.groupBy(id_col)
-            .agg((F.sum(term) % F.lit(P31)).alias("fingerprint")))
+            .agg(F.coalesce(F.sum(term) % F.lit(P31),
+                            F.lit(0).cast("long")).alias("fingerprint")))
 
 
 # PII patterns shared with the DuckDB oracle — restricted to syntax that

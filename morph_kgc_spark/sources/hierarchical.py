@@ -125,30 +125,35 @@ _XPATH_PRED_RE = re.compile(
 
 
 def _parse_last_step(iterator: str):
-    """(rowTag, predicate | None) for the iterator's LAST step.
+    """(rowTag, predicate | None, parentTag | None) for the LAST step.
 
     Supported predicates (matching elementpath's behavior on these
     shapes, reference data_file.py:188-253): attribute equality
     ``item[@type='book']`` and position ``item[2]``. Predicates on
     intermediate steps, functions, and anything else stay a loud
-    rejection — the honest supported-surface boundary.
+    rejection — the honest supported-surface boundary. ``parentTag`` is
+    the plain element step preceding the last one (positional
+    predicates are evaluated per PARENT context, as XPath requires).
     """
     steps = [s for s in iterator.strip().split("/") if s not in ("", "*")]
     if not steps:
-        return None, None  # '/' or '/*': the document ROOT is the row
+        return None, None, None  # '/' or '/*': the document ROOT
     for s in steps[:-1]:
         if not _XPATH_STEP_RE.match(s) and s != ".":
             raise ValueError(
                 f"unsupported XPath step {s!r} in iterator {iterator!r} "
                 "(predicates are only supported on the last step)")
+    parent = steps[-2] if len(steps) > 1 and \
+        _XPATH_STEP_RE.match(steps[-2]) else None
     last = steps[-1]
     if _XPATH_STEP_RE.match(last):
-        return last, None
+        return last, None, parent
     m = _XPATH_PRED_RE.match(last)
     if m:
         if m.group("attr") is not None:
-            return m.group("name"), ("attr", m.group("attr"), m.group("val"))
-        return m.group("name"), ("pos", int(m.group("pos")))
+            return (m.group("name"),
+                    ("attr", m.group("attr"), m.group("val")), parent)
+        return m.group("name"), ("pos", int(m.group("pos"))), parent
     raise ValueError(
         f"unsupported XPath step {last!r} in iterator {iterator!r} "
         "(only [@attr='v'] and [n] predicates are supported)")
@@ -162,12 +167,12 @@ def xpath_row_tag(iterator: str) -> str:
     absolute/descendant paths RML test cases use (``/students/student``,
     ``//student``, ``students/student``) as long as the tag name is not
     reused at other depths — the common case for data documents.
-    Last-step predicates ``[@attr='v']`` / ``[n]`` are supported as
-    post-scan filters (:func:`_parse_last_step`); other predicate and
-    function forms are rejected explicitly. The reference evaluates
-    full XPath 3.0 driver-side via elementpath (data_file.py:188-253),
-    which cannot be pushed into a distributed rowTag scan; the loud
-    error is the honest boundary (tests/test_sources.py pins it).
+    Last-step predicates ``[@attr='v']`` / ``[n]`` are supported
+    (:func:`_parse_last_step`); other predicate and function forms are
+    rejected explicitly. The reference evaluates full XPath 3.0
+    driver-side via elementpath (data_file.py:188-253), which cannot be
+    pushed into a distributed rowTag scan; the loud error is the honest
+    boundary (tests/test_sources.py pins it).
     """
     return _parse_last_step(iterator)[0]
 
@@ -248,18 +253,54 @@ def _sniff_root_tag(path: str) -> str:
     return m.group(1)
 
 
+def _positional_child_rows(spark: SparkSession, path: str, parent_tag: str,
+                           child_tag: str, pos: int) -> DataFrame:
+    """Rows for ``parent/child[pos]``: the n-th CHILD of each parent.
+
+    XPath positional predicates count within the parent context, so the
+    scan uses the PARENT as the rowTag and selects the n-th child
+    element per parent row — ``/shelf/book[2]`` yields the 2nd book of
+    EVERY shelf, not the 2nd book in the document. A global row_number
+    over a distributed scan would silently return the latter (the bug
+    the round-4 self-review caught).
+    """
+    from pyspark.sql.types import StructType as _St
+
+    base = (spark.read.format("xml").option("rowTag", parent_tag)
+            .option("inferSchema", "false").load(path))
+    if child_tag not in base.columns:
+        return base.select().where(F.lit(False))  # no such children
+    dtype = base.schema[child_tag].dataType
+    if isinstance(dtype, ArrayType):
+        # try_element_at: a parent with fewer than pos children simply
+        # contributes no row (plain element_at raises out-of-bounds)
+        sel = F.try_element_at(F.col(f"`{child_tag}`"), F.lit(pos))
+        dtype = dtype.elementType
+    else:
+        # a single child element: only position 1 exists
+        sel = F.col(f"`{child_tag}`") if pos == 1 else \
+            F.lit(None).cast(dtype)
+    picked = base.select(sel.alias("__row")) \
+                 .where(F.col("__row").isNotNull())
+    if isinstance(dtype, _St):
+        return picked.select("__row.*")
+    # text-only child (<book>A</book> scans as a primitive): expose it
+    # as _VALUE so the flattener maps it to the '.' self-reference
+    return picked.select(F.col("__row").alias("_VALUE"))
+
+
 def _apply_xpath_predicate(df: DataFrame, predicate, row_tag: str,
                            iterator: str) -> DataFrame:
     """Post-scan filter for a supported last-step predicate.
 
     ``[@attr='v']``: equality on the row element's own attribute (the
     scan exposes it as ``_attr``); an absent attribute never matches,
-    like elementpath. ``[n]``: the n-th matched element in DOCUMENT
-    order — positional semantics need a total order, so it is evaluated
-    per input file via the scan's row order (single-file test-scale
-    sources; a multi-file distributed scan has no global document order
-    and positional predicates on it are rejected by construction since
-    the order id is per-partition-monotonic only within one file scan).
+    like elementpath. ``[n]`` reaches here only when the iterator has
+    NO parent step (``//book[2]``): with no parent context the n-th
+    matched element in document order is the only consistent reading —
+    evaluated via the scan's row order (single-file test-scale
+    sources). Parent-scoped iterators take the per-parent path in
+    :func:`_positional_child_rows` instead.
     """
     if predicate[0] == "attr":
         _, attr, val = predicate
@@ -281,18 +322,24 @@ def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
     data_file.py:188-253. ``iterator`` (e.g. ``/students/student``)
     derives the rowTag; references then address flattened columns:
     ``name``, ``@id``, ``address/city``, ``route/stop/@id``."""
-    predicate = None
+    predicate = parent_tag = None
     if row_tag is None:
         if iterator is None:
             raise ValueError("xml source needs rowTag or iterator")
-        row_tag, predicate = _parse_last_step(iterator)
+        row_tag, predicate, parent_tag = _parse_last_step(iterator)
         row_tag = row_tag or _sniff_root_tag(path)
-    # inferSchema off: XPath semantics are lexical — "30.0E0" must stay
-    # the string "30.0E0", not become double 30.0 (RMLTC0005a)
-    df = (spark.read.format("xml").option("rowTag", row_tag)
-          .option("inferSchema", "false").load(path))
-    if predicate is not None:
-        df = _apply_xpath_predicate(df, predicate, row_tag, iterator)
+    if predicate is not None and predicate[0] == "pos" and parent_tag:
+        # per-parent positional semantics: scan the PARENT as the row
+        # and pick the n-th child within each parent element
+        df = _positional_child_rows(spark, path, parent_tag, row_tag,
+                                    predicate[1])
+    else:
+        # inferSchema off: XPath semantics are lexical — "30.0E0" must
+        # stay the string "30.0E0", not double 30.0 (RMLTC0005a)
+        df = (spark.read.format("xml").option("rowTag", row_tag)
+              .option("inferSchema", "false").load(path))
+        if predicate is not None:
+            df = _apply_xpath_predicate(df, predicate, row_tag, iterator)
     if not flatten:
         return df
     df = flatten_xml(df)

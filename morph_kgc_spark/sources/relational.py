@@ -305,10 +305,19 @@ def _canonical_sql_value(v, decl_type: Optional[str]):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, int):
-        if decl_type and "BOOL" in decl_type:
+        # TINYINT maps to xsd:boolean in the inference table, so its
+        # canonical lexical is true/false, same as BOOLEAN-declared
+        if decl_type and ("BOOL" in decl_type or "TINYINT" in decl_type):
             return "true" if v else "false"
         return str(v)
     if isinstance(v, float):
+        # DECIMAL/NUMERIC columns infer xsd:decimal, whose lexical space
+        # has NO exponent notation — plain decimal form, not 3.5E0
+        if decl_type and ("DECIMAL" in decl_type or "NUMERIC" in decl_type):
+            from decimal import Decimal
+
+            d = Decimal(repr(float(v))).normalize()
+            return format(d, "f")
         return canonical_double(v)
     return str(v)
 

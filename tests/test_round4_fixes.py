@@ -174,3 +174,60 @@ def test_gather_scalar_ref_under_array_falls_back_to_full_flatten(spark, tmp_pat
            any(o == '"1"' for s, p_, o in rows), rows
     objs = {o for _, _, o in rows}
     assert '"1"' in objs and '"2"' in objs and '"3"' in objs
+
+
+# ------------------------- self-review regression tests (round 4)
+
+def test_strict_mode_decimal_and_tinyint_lexicals(spark, tmp_path):
+    """DECIMAL columns must NOT get exponent-notation lexicals (illegal
+    for xsd:decimal), and TINYINT (→ xsd:boolean) must canonicalize its
+    integers to true/false."""
+    import sqlite3
+
+    db = tmp_path / "t.db"
+    con = sqlite3.connect(db)
+    con.execute('CREATE TABLE "T" ("ID" INTEGER, "price" DECIMAL(5,2), '
+                '"flag" TINYINT)')
+    con.execute('INSERT INTO "T" VALUES (1, 3.5, 1), (2, 30.0, 0)')
+    con.commit(); con.close()
+    ttl = tmp_path / "m.ttl"
+    ttl.write_text("""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+<#TM> rr:logicalTable [ rr:tableName "T" ];
+  rr:subjectMap [ rr:template "http://e.com/{ID}" ];
+  rr:predicateObjectMap [ rr:predicate <http://e.com/price> ;
+                          rr:objectMap [ rr:column "price" ] ];
+  rr:predicateObjectMap [ rr:predicate <http://e.com/flag> ;
+                          rr:objectMap [ rr:column "flag" ] ] .
+""")
+    import morph_kgc_spark as mks
+
+    ini = ("[CONFIGURATION]\nstrict_natural_mapping=yes\n[DataSource]\n"
+           f"mappings={ttl}\ndb_url=sqlite:///{db}\n")
+    objs = {r.object for r in mks.materialize_from_config(spark, ini).collect()}
+    dec = "http://www.w3.org/2001/XMLSchema#decimal"
+    boo = "http://www.w3.org/2001/XMLSchema#boolean"
+    assert f'"3.5"^^<{dec}>' in objs, objs
+    assert f'"30"^^<{dec}>' in objs, objs          # no 3.0E1 for decimal
+    assert f'"true"^^<{boo}>' in objs, objs        # not "1"
+    assert f'"false"^^<{boo}>' in objs, objs
+
+
+def test_fingerprint_keeps_null_text_rows(spark):
+    """A NULL text must still yield a fingerprint row (value 0), not
+    silently vanish from the output (count parity with the input)."""
+    from morph_kgc_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame([(1, "a b c"), (2, None)],
+                               ["doc_id", "text"])
+    rows = {r.doc_id: r.fingerprint for r in
+            fingerprint(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2] == 0
+
+
+def test_compare_rejects_malformed_iri_line():
+    from morph_kgc_spark.compare import canonical_nquads
+
+    with pytest.raises(ValueError, match="unclosed IRI"):
+        canonical_nquads(["<http://truncated "])

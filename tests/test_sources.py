@@ -174,6 +174,23 @@ def test_xml_xpath_positional_predicate(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["title"] == "Kind of Blue"
 
 
+def test_xml_xpath_positional_is_per_parent(spark, tmp_path):
+    """XPath [n] counts within the PARENT context: /shelf/book[2] is
+    the 2nd book of EVERY shelf, not the 2nd book in the document."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "lib.xml")
+    with open(p, "w") as f:
+        f.write("<library>"
+                "<shelf><book>A</book><book>B</book></shelf>"
+                "<shelf><book>C</book><book>D</book></shelf>"
+                "<shelf><book>E</book></shelf>"  # no 2nd book
+                "</library>")
+    df = xml_source(spark, p, iterator="/library/shelf/book[2]")
+    vals = sorted(r["."] for r in df.collect())
+    assert vals == ["B", "D"]
+
+
 def test_materialize_from_xml_mapping_with_iterator(spark, tmp_path):
     """Full path: Turtle mapping with ql:XPath iterator over XML."""
     p = str(tmp_path / "students.xml")
