@@ -158,8 +158,14 @@ def _grouped_pairs(df: DataFrame, keys: list[str], item,
     # duplicate the whole pair-generation lambda into a size()>0 Filter
     # (evaluated interpreted, once more per group)
     extra = list(extra_cols)
+    # a != b: duplicate ITEMS in one group (same id collected twice)
+    # sort adjacent and would emit a self-pair — the old self-join
+    # formulation's id_a < id_b excluded those (round-4 advice). Items
+    # that differ only outside the id field are the CALLER's contract
+    # (pair operators re-filter on the id fields).
     return (grouped.select(*extra, F.explode_outer(pairs).alias("p"))
             .where(F.col("p").isNotNull())
+            .where(F.col("p.a") != F.col("p.b"))
             .select(*extra, F.col("p.a").alias("a"), F.col("p.b").alias("b")))
 
 
@@ -220,10 +226,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             lambda eq: eq)
         out = (pairs.where(~earlier_match)
                .select(F.col("a.id").alias("id_a"),
-                       F.col("b.id").alias("id_b")))
+                       F.col("b.id").alias("id_b"))
+               .where(F.col("id_a") != F.col("id_b")))
     else:
         out = (pairs.select(F.col("a.id").alias("id_a"),
                             F.col("b.id").alias("id_b"))
+               .where(F.col("id_a") != F.col("id_b"))
                .dropDuplicates())
     return out if lazy else out.localCheckpoint()
 
@@ -389,7 +397,12 @@ def ngram_jaccard_topk(df: DataFrame, id_col: str, text_col: str,
             dfreq = None
     topk = _ngram_topk(sh, sizes, dfreq, id_col, k, df_cap)
     if dfreq is None:
-        return topk  # nothing cached — hygiene-clean in both modes
+        # nothing cached, but the eager multi-read contract stays
+        # uniform: default mode returns a checkpointed frame so
+        # multi-read consumers (dup_clusters' two-direction edge
+        # union) never recompute the tokenize→join→top-k pipeline
+        # per action (round-4 advice)
+        return topk if lazy else topk.localCheckpoint()
     if lazy:
         return cache.own(topk, [dfreq])
     try:

@@ -28,6 +28,32 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+# logical-plan node classes that imply a shuffle/ordering stage: their
+# output partitioning is already cluster-wide (or AQE-managed), so the
+# narrow-scan repartition guard must not probe (or repartition) them
+_WIDE_PLAN_NODES = frozenset({
+    "Join", "Aggregate", "Window", "Sort", "Distinct", "Deduplicate",
+    "DeduplicateWithinWatermark", "Repartition", "RepartitionByExpression",
+    "RebalancePartitions", "GlobalLimit", "LocalLimit", "Intersect",
+    "Except", "CoGroup", "FlatMapGroupsInPandas", "MapInPandas",
+})
+
+
+def _plan_has_wide_node(jplan) -> bool:
+    """True if the analyzed logical plan contains a shuffle-implying
+    node anywhere in its tree — exact match on node CLASS names, walked
+    via the JVM tree's children, never the pretty-printed string."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() in _WIDE_PLAN_NODES:
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
+
+
 def _parallelize_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
     """Repartition a scan that is narrower than the cluster.
 
@@ -51,9 +77,10 @@ def _parallelize_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
         # in a throwaway QueryExecution (the later real action does not
         # reuse them). For joins/aggregates the input is already
         # shuffle-partitioned to cluster width — the guard is moot there.
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if any(n in plan for n in ("Join", "Aggregate", "Window",
-                                   "Repartition", "Deduplicate", "Sort")):
+        # The check walks the analyzed tree's NODE CLASSES (a substring
+        # probe of the pretty-printed plan false-positives on relation/
+        # column names containing 'Join' etc. — round-4 advice).
+        if _plan_has_wide_node(df._jdf.queryExecution().analyzed()):
             return df
     except Exception:
         return df

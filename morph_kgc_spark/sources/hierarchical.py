@@ -116,7 +116,7 @@ def json_source(spark: SparkSession, path: str, iterator: str = "$.*",
 # an XPath iterator step: a plain element name (no predicates/functions)
 _XPATH_STEP_RE = re.compile(r"^[A-Za-z_][\w.:-]*$")  # ':' = XML namespaces
 
-# last-step predicate subset: [@attr='v'] / [@attr="v"] / [n]
+# per-step predicate subset: [@attr='v'] / [@attr="v"] / [n]
 _XPATH_PRED_RE = re.compile(
     r"^(?P<name>[A-Za-z_][\w.:-]*)\[(?:"
     r"@(?P<attr>[\w.:-]+)\s*=\s*(?P<q>['\"])(?P<val>[^'\"]*)(?P=q)"
@@ -124,57 +124,64 @@ _XPATH_PRED_RE = re.compile(
     r")\]$")
 
 
-def _parse_last_step(iterator: str):
-    """(rowTag, predicate | None, parentTag | None) for the LAST step.
+def _parse_xpath(iterator: str) -> list[tuple]:
+    """Parse an XPath iterator into ``[(name, pred, descendant)]`` steps.
 
-    Supported predicates (matching elementpath's behavior on these
-    shapes, reference data_file.py:188-253): attribute equality
-    ``item[@type='book']`` and position ``item[2]``. Predicates on
-    intermediate steps, functions, and anything else stay a loud
-    rejection — the honest supported-surface boundary. ``parentTag`` is
-    the plain element step preceding the last one (positional
-    predicates are evaluated per PARENT context, as XPath requires).
+    ``pred`` is ``None``, ``("attr", name, value)`` or ``("pos", n)``
+    — the supported predicate subset, now allowed on ANY step
+    (reference evaluates full XPath 3.0 via elementpath,
+    data_file.py:188-253; this chain matches it on
+    ``/a[@x='1']/b[2]/c`` shapes). ``descendant`` marks a step preceded
+    by ``//`` (its parent is unknown). ``name`` is ``None`` for a ``*``
+    wildcard step; ``.`` self steps are dropped (they do not move the
+    context). Functions, axes, and other predicate forms raise.
     """
-    steps = [s for s in iterator.strip().split("/") if s not in ("", "*")]
-    if not steps:
-        return None, None, None  # '/' or '/*': the document ROOT
-    for s in steps[:-1]:
-        if not _XPATH_STEP_RE.match(s) and s != ".":
-            raise ValueError(
-                f"unsupported XPath step {s!r} in iterator {iterator!r} "
-                "(predicates are only supported on the last step)")
-    parent = steps[-2] if len(steps) > 1 and \
-        _XPATH_STEP_RE.match(steps[-2]) else None
-    last = steps[-1]
-    if _XPATH_STEP_RE.match(last):
-        return last, None, parent
-    m = _XPATH_PRED_RE.match(last)
-    if m:
-        if m.group("attr") is not None:
-            return (m.group("name"),
-                    ("attr", m.group("attr"), m.group("val")), parent)
-        return m.group("name"), ("pos", int(m.group("pos"))), parent
-    raise ValueError(
-        f"unsupported XPath step {last!r} in iterator {iterator!r} "
-        "(only [@attr='v'] and [n] predicates are supported)")
+    steps: list[tuple] = []
+    toks = iterator.strip().split("/")
+    desc = False
+    for i, s in enumerate(toks):
+        if s == "":
+            if i > 0:
+                desc = True  # '//' descendant marker
+            continue
+        if s == ".":
+            continue  # self step: context unchanged, parent chain intact
+        if s == "*":
+            steps.append((None, None, desc))
+        elif _XPATH_STEP_RE.match(s):
+            steps.append((s, None, desc))
+        else:
+            m = _XPATH_PRED_RE.match(s)
+            if not m:
+                raise ValueError(
+                    f"unsupported XPath step {s!r} in iterator {iterator!r} "
+                    "(only [@attr='v'] and [n] predicates are supported)")
+            if m.group("attr") is not None:
+                pred = ("attr", m.group("attr"), m.group("val"))
+            else:
+                pred = ("pos", int(m.group("pos")))
+            steps.append((m.group("name"), pred, desc))
+        desc = False
+    return steps
 
 
 def xpath_row_tag(iterator: str) -> str:
-    """Last element step of an XPath iterator → Spark XML rowTag.
+    """rowTag for an XPath iterator (the deepest named element step).
 
     Spark's XML reader matches the rowTag element at any depth, which
     equals the reference's XPath evaluation (data_file.py:205) for the
     absolute/descendant paths RML test cases use (``/students/student``,
     ``//student``, ``students/student``) as long as the tag name is not
     reused at other depths — the common case for data documents.
-    Last-step predicates ``[@attr='v']`` / ``[n]`` are supported
-    (:func:`_parse_last_step`); other predicate and function forms are
-    rejected explicitly. The reference evaluates full XPath 3.0
-    driver-side via elementpath (data_file.py:188-253), which cannot be
-    pushed into a distributed rowTag scan; the loud error is the honest
-    boundary (tests/test_sources.py pins it).
+    Predicates ``[@attr='v']`` / ``[n]`` are supported on any step
+    (:func:`_parse_xpath` / :func:`xml_source`); other predicate and
+    function forms are rejected explicitly. The reference evaluates full
+    XPath 3.0 driver-side via elementpath (data_file.py:188-253), which
+    cannot be pushed into a distributed rowTag scan; the loud error is
+    the honest boundary (tests/test_sources.py pins it).
     """
-    return _parse_last_step(iterator)[0]
+    steps = [s for s in _parse_xpath(iterator) if s[0] is not None]
+    return steps[-1][0] if steps else None
 
 
 def _xml_leaf_name(name: str) -> str:
@@ -253,67 +260,103 @@ def _sniff_root_tag(path: str) -> str:
     return m.group(1)
 
 
-def _positional_child_rows(spark: SparkSession, path: str, parent_tag: str,
-                           child_tag: str, pos: int) -> DataFrame:
-    """Rows for ``parent/child[pos]``: the n-th CHILD of each parent.
+def _empty_nodes(df: DataFrame) -> DataFrame:
+    """Zero rows with a ``_VALUE`` string column: the empty node-set.
 
-    XPath positional predicates count within the parent context, so the
-    scan uses the PARENT as the rowTag and selects the n-th child
-    element per parent row — ``/shelf/book[2]`` yields the 2nd book of
-    EVERY shelf, not the 2nd book in the document. A global row_number
-    over a distributed scan would silently return the latter (the bug
-    the round-4 self-review caught).
+    elementpath yields an empty sequence when a path step matches
+    nothing; downstream (flatten → reference resolution) then produces
+    zero triples. A zero-COLUMN frame instead crashes reference
+    resolution on missing columns (round-4 advice) — ``_VALUE`` maps to
+    the ``.`` self-reference, the one name every element can answer.
+    """
+    return df.where(F.lit(False)).select(
+        F.lit(None).cast("string").alias("_VALUE"))
+
+
+def _descend_steps(df: DataFrame, steps: list[tuple]) -> DataFrame:
+    """Navigate scan rows down a chain of child steps with predicates.
+
+    XPath evaluates each step within its PARENT context —
+    ``/shelf/book[2]`` is the 2nd book of EVERY shelf, not the 2nd book
+    in the document — so positional predicates use per-parent
+    ``try_element_at`` and attribute predicates filter the child array
+    per row (absent attribute never matches, like elementpath). All
+    per-row Column work: fully distributed, no window over a global
+    order. Descendant (``//``) and wildcard steps cannot descend
+    through typed struct fields and are rejected loudly.
     """
     from pyspark.sql.types import StructType as _St
 
-    base = (spark.read.format("xml").option("rowTag", parent_tag)
-            .option("inferSchema", "false").load(path))
-    if child_tag not in base.columns:
-        return base.select().where(F.lit(False))  # no such children
-    dtype = base.schema[child_tag].dataType
-    if isinstance(dtype, ArrayType):
-        # try_element_at: a parent with fewer than pos children simply
-        # contributes no row (plain element_at raises out-of-bounds)
-        sel = F.try_element_at(F.col(f"`{child_tag}`"), F.lit(pos))
-        dtype = dtype.elementType
-    else:
-        # a single child element: only position 1 exists
-        sel = F.col(f"`{child_tag}`") if pos == 1 else \
-            F.lit(None).cast(dtype)
-    picked = base.select(sel.alias("__row")) \
-                 .where(F.col("__row").isNotNull())
-    if isinstance(dtype, _St):
-        return picked.select("__row.*")
-    # text-only child (<book>A</book> scans as a primitive): expose it
+    cur, in_node = df, False
+    for name, pred, desc in steps:
+        if desc:
+            raise ValueError(
+                "descendant ('//') steps inside a predicate chain are "
+                "unsupported (parent context is unknown)")
+        if name is None:
+            raise ValueError(
+                "wildcard ('*') steps inside a predicate chain are "
+                "unsupported")
+        if not in_node:
+            dtypes = {f.name: f.dataType for f in cur.schema.fields}
+            if name not in dtypes:
+                return _empty_nodes(cur)
+            col, dt = F.col(f"`{name}`"), dtypes[name]
+        else:
+            node_t = cur.schema["__n"].dataType
+            if not isinstance(node_t, _St) or name not in node_t.fieldNames():
+                return _empty_nodes(cur)
+            col, dt = F.col("__n")[name], node_t[name].dataType
+        if isinstance(dt, ArrayType):
+            elem = dt.elementType
+            if pred is not None and pred[0] == "pos":
+                # try_element_at: a parent with fewer than pos children
+                # contributes no row (element_at would raise)
+                cur = (cur.select(F.try_element_at(col, F.lit(pred[1]))
+                                  .alias("__n"))
+                       .where(F.col("__n").isNotNull()))
+            elif pred is not None and pred[0] == "attr":
+                attr_f = "_" + pred[1]
+                if not (isinstance(elem, _St)
+                        and attr_f in elem.fieldNames()):
+                    return _empty_nodes(cur)
+                matches = F.filter(
+                    col, lambda e: e[attr_f].cast("string") == F.lit(pred[2]))
+                cur = (cur.select(F.explode_outer(matches).alias("__n"))
+                       .where(F.col("__n").isNotNull()))
+            else:
+                cur = (cur.select(F.explode_outer(col).alias("__n"))
+                       .where(F.col("__n").isNotNull()))
+        else:
+            # single child element: position 1 is the only one
+            if pred is not None and pred[0] == "pos" and pred[1] != 1:
+                return _empty_nodes(cur)
+            cur = cur.select(col.alias("__n")) \
+                     .where(F.col("__n").isNotNull())
+            if pred is not None and pred[0] == "attr":
+                attr_f = "_" + pred[1]
+                if not (isinstance(dt, _St) and attr_f in dt.fieldNames()):
+                    return _empty_nodes(cur)
+                cur = cur.where(
+                    F.col("__n")[attr_f].cast("string") == F.lit(pred[2]))
+        in_node = True
+    if not in_node:
+        return df
+    node_t = cur.schema["__n"].dataType
+    if isinstance(node_t, _St):
+        return cur.select("__n.*")
+    # text-only element (<book>A</book> scans as a primitive): expose it
     # as _VALUE so the flattener maps it to the '.' self-reference
-    return picked.select(F.col("__row").alias("_VALUE"))
+    return cur.select(F.col("__n").alias("_VALUE"))
 
 
-def _apply_xpath_predicate(df: DataFrame, predicate, row_tag: str,
-                           iterator: str) -> DataFrame:
-    """Post-scan filter for a supported last-step predicate.
-
-    ``[@attr='v']``: equality on the row element's own attribute (the
-    scan exposes it as ``_attr``); an absent attribute never matches,
-    like elementpath. ``[n]`` reaches here only when the iterator has
-    NO parent step (``//book[2]``): with no parent context the n-th
-    matched element in document order is the only consistent reading —
-    evaluated via the scan's row order (single-file test-scale
-    sources). Parent-scoped iterators take the per-parent path in
-    :func:`_positional_child_rows` instead.
-    """
-    if predicate[0] == "attr":
-        _, attr, val = predicate
-        col = f"_{attr}"
-        if col not in df.columns:
-            return df.where(F.lit(False))
-        return df.where(F.col(f"`{col}`").cast("string") == F.lit(val))
-    _, pos = predicate
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return (df.withColumn("__xp_pos", F.row_number().over(w))
-            .where(F.col("__xp_pos") == pos).drop("__xp_pos"))
+def _attr_row_filter(df: DataFrame, pred) -> DataFrame:
+    """``[@attr='v']`` on the scan's own row element: the scan exposes
+    the attribute as ``_attr``; an absent attribute never matches."""
+    col = "_" + pred[1]
+    if col not in df.columns:
+        return df.where(F.lit(False))
+    return df.where(F.col(f"`{col}`").cast("string") == F.lit(pred[2]))
 
 
 def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
@@ -321,25 +364,60 @@ def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
     """XML scan with an XPath iterator (subset) per reference
     data_file.py:188-253. ``iterator`` (e.g. ``/students/student``)
     derives the rowTag; references then address flattened columns:
-    ``name``, ``@id``, ``address/city``, ``route/stop/@id``."""
-    predicate = parent_tag = None
-    if row_tag is None:
-        if iterator is None:
-            raise ValueError("xml source needs rowTag or iterator")
-        row_tag, predicate, parent_tag = _parse_last_step(iterator)
-        row_tag = row_tag or _sniff_root_tag(path)
-    if predicate is not None and predicate[0] == "pos" and parent_tag:
-        # per-parent positional semantics: scan the PARENT as the row
-        # and pick the n-th child within each parent element
-        df = _positional_child_rows(spark, path, parent_tag, row_tag,
-                                    predicate[1])
-    else:
+    ``name``, ``@id``, ``address/city``, ``route/stop/@id``.
+
+    Predicates ``[@attr='v']`` / ``[n]`` are supported on ANY step
+    (``/a[@x='1']/b[2]/c``): the scan's rowTag is the first predicated
+    step (its parent for positional predicates — XPath counts within
+    the parent context) and the remaining steps navigate the typed row
+    struct per row (:func:`_descend_steps`), fully distributed.
+    Parentless positional predicates (``//book[2]``) are rejected
+    loudly: without the parent element the per-parent semantics cannot
+    be reproduced (round-4 advice — a global document-order row_number
+    diverges from elementpath and serializes the scan).
+    """
+
+    def _scan(tag: str) -> DataFrame:
         # inferSchema off: XPath semantics are lexical — "30.0E0" must
         # stay the string "30.0E0", not double 30.0 (RMLTC0005a)
-        df = (spark.read.format("xml").option("rowTag", row_tag)
-              .option("inferSchema", "false").load(path))
-        if predicate is not None:
-            df = _apply_xpath_predicate(df, predicate, row_tag, iterator)
+        return (spark.read.format("xml").option("rowTag", tag)
+                .option("inferSchema", "false").load(path))
+
+    if row_tag is not None:
+        df = _scan(row_tag)
+    else:
+        if iterator is None:
+            raise ValueError("xml source needs rowTag or iterator")
+        steps = _parse_xpath(iterator)
+        pred_idx = [i for i, s in enumerate(steps) if s[1] is not None]
+        if any(s[0] is None for i, s in enumerate(steps)
+               if pred_idx and i >= pred_idx[0]):
+            raise ValueError(
+                f"wildcard step at/after a predicate in {iterator!r} "
+                "is unsupported")
+        if not pred_idx:
+            named = [s for s in steps if s[0] is not None]
+            df = _scan(named[-1][0] if named else _sniff_root_tag(path))
+        else:
+            i0 = pred_idx[0]
+            name, pred, desc = steps[i0]
+            if pred[0] == "attr":
+                # scan AT the predicated element, filter its own attr
+                df = _descend_steps(_attr_row_filter(_scan(name), pred),
+                                    steps[i0 + 1:])
+            else:  # positional: scan the PARENT, pick n-th child per row
+                if desc:
+                    raise ValueError(
+                        f"positional predicate on a descendant step in "
+                        f"{iterator!r} is unsupported (parent context "
+                        "unknown; elementpath counts per parent)")
+                if i0 == 0:
+                    # parent is the document root: exactly one root node
+                    df = _descend_steps(_scan(_sniff_root_tag(path)),
+                                        steps)
+                else:
+                    df = _descend_steps(_scan(steps[i0 - 1][0]),
+                                        steps[i0:])
     if not flatten:
         return df
     df = flatten_xml(df)

@@ -126,12 +126,12 @@ def test_xml_xpath_iterator_nested_and_attrs(spark, tmp_path):
 def test_xml_xpath_rejects_unsupported_predicates():
     from morph_kgc_spark.sources.hierarchical import xpath_row_tag
 
-    # supported last-step predicates parse to the element name
+    # supported predicates parse to the element name — on any step now
     assert xpath_row_tag("/students/student[1]") == "student"
     assert xpath_row_tag("/items/item[@type='book']") == "item"
-    # functions / intermediate-step predicates stay a loud rejection
-    with pytest.raises(ValueError, match="predicates"):
-        xpath_row_tag("/a[1]/b")
+    assert xpath_row_tag("/a[1]/b") == "b"
+    assert xpath_row_tag("/a[@x='1']/b[2]/c") == "c"
+    # functions / multi-clause predicates stay a loud rejection
     with pytest.raises(ValueError, match="predicate"):
         xpath_row_tag("/items/item[position()=1]")
     with pytest.raises(ValueError, match="predicate"):
@@ -189,6 +189,82 @@ def test_xml_xpath_positional_is_per_parent(spark, tmp_path):
     df = xml_source(spark, p, iterator="/library/shelf/book[2]")
     vals = sorted(r["."] for r in df.collect())
     assert vals == ["B", "D"]
+
+
+_CATALOG_XML = """<catalog>
+  <section kind="fiction">
+    <shelf><title>A1</title><title>A2</title></shelf>
+    <shelf><title>B1</title></shelf>
+  </section>
+  <section kind="science">
+    <shelf><title>C1</title><title>C2</title></shelf>
+  </section>
+  <section>
+    <shelf><title>D1</title><title>D2</title></shelf>
+  </section>
+</catalog>"""
+
+
+def test_xml_xpath_multi_step_predicates(spark, tmp_path):
+    """Predicate CHAINS across steps, per-parent semantics at each one
+    (reference evaluates these via elementpath, data_file.py:188-253):
+    /catalog/section[@kind='fiction']/shelf[1]/title picks, within the
+    fiction sections only, each one's FIRST shelf's titles (B1 lives in
+    the fiction section's SECOND shelf — excluded)."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "catalog.xml")
+    with open(p, "w") as f:
+        f.write(_CATALOG_XML)
+    df = xml_source(
+        spark, p,
+        iterator="/catalog/section[@kind='fiction']/shelf[1]/title")
+    assert sorted(r["."] for r in df.collect()) == ["A1", "A2"]
+    # positional then plain step: every section's first shelf's titles
+    df2 = xml_source(spark, p, iterator="/catalog/section/shelf[1]/title")
+    assert sorted(r["."] for r in df2.collect()) == \
+        ["A1", "A2", "C1", "C2", "D1", "D2"]
+    # two positional predicates chained
+    df3 = xml_source(spark, p,
+                     iterator="/catalog/section/shelf[1]/title[2]")
+    assert sorted(r["."] for r in df3.collect()) == ["A2", "C2", "D2"]
+    # attr predicate mid-chain with an absent attribute: no match
+    df4 = xml_source(spark, p,
+                     iterator="/catalog/section[@kind='poetry']/shelf/title")
+    assert df4.count() == 0
+
+
+def test_xml_xpath_parentless_positional_rejected(spark, tmp_path):
+    """//book[2] has no parent step: per-parent [n] semantics cannot be
+    reproduced without it — loud rejection, not a document-order guess
+    (round-4 advice)."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "lib.xml")
+    with open(p, "w") as f:
+        f.write("<library><shelf><book>A</book><book>B</book></shelf>"
+                "</library>")
+    with pytest.raises(ValueError, match="descendant"):
+        xml_source(spark, p, iterator="//book[2]")
+    # a ROOT-scoped positional predicate has the document root as its
+    # parent — supported via the sniffed root tag
+    df = xml_source(spark, p, iterator="/library/shelf[1]/book[2]")
+    assert [r["."] for r in df.collect()] == ["B"]
+
+
+def test_xml_xpath_missing_child_yields_empty_nodeset(spark, tmp_path):
+    """A chain step matching nothing → ZERO rows with a usable schema
+    (elementpath's empty sequence), not a zero-column analysis crash
+    (round-4 advice)."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "lib.xml")
+    with open(p, "w") as f:
+        f.write("<library><shelf><book>A</book></shelf></library>")
+    df = xml_source(spark, p, iterator="/library/shelf[1]/magazine")
+    assert df.count() == 0 and df.columns  # non-empty schema
+    df2 = xml_source(spark, p, iterator="/library/shelf[2]/book")
+    assert df2.count() == 0
 
 
 def test_materialize_from_xml_mapping_with_iterator(spark, tmp_path):
