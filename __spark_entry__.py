@@ -47,7 +47,11 @@ def _pq(sf_dir: str, table: str) -> Source:
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # schema-cached read: repeat scans of a bench table skip footer
+    # inference (~80 ms driver cost each; sources/registry.py)
+    from morph_kgc_spark.sources.registry import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, f"{sf_dir}/{table}.parquet")
 
 
 def _utc(spark: SparkSession) -> None:
@@ -519,6 +523,20 @@ def q_text_fingerprint(spark, sf_dir):
     return T.fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_multimodal_decode_stats(spark, sf_dir):
+    """Multimodal image path end-to-end under the oracle: synthesize a
+    REAL P6-PPM binary per document (mapInPandas encode), decode it with
+    the stdlib codec (mapInPandas), and hash the decoded raster — the
+    oracle replays every byte in SQL (oracles.multimodal_decode_stats)."""
+    from morph_kgc_spark.operators.multimodal import (
+        image_pixel_stats,
+        synth_ppm_media,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return image_pixel_stats(synth_ppm_media(docs, "doc_id"))
+
+
 def q_rollup_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped decimal-exact rollup (general analytics surface)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -681,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality_score": q_text_quality_score,
         "text_fingerprint": q_text_fingerprint,
+        "multimodal_decode_stats": q_multimodal_decode_stats,
         "events_sessionize": q_events_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
         "rollup_pricing_summary": q_rollup_pricing_summary,
@@ -725,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": oracles.text_language_id(),
         "text_quality_score": oracles.text_quality_score(),
         "text_fingerprint": oracles.text_fingerprint(),
+        "multimodal_decode_stats": oracles.multimodal_decode_stats(),
         "events_sessionize": oracles.events_sessionize(),
         "events_hourly_rollup": oracles.events_hourly_rollup(),
         "rollup_pricing_summary": oracles.rollup_pricing_summary(),

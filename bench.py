@@ -31,6 +31,9 @@ def build_spark(cores: int):
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # skip per-DataFrame-op python stack capture (public perf knob;
+        # ~3 ms/op of inspect.stack() — pure driver fixed cost)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

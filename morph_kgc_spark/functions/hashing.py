@@ -41,6 +41,12 @@ def h64_sql(expr: str) -> str:
     return f"CAST(CAST('0x' || substr(md5({expr}), 1, 15) AS UBIGINT) AS BIGINT)"
 
 
+def h64_spark_sql(expr: str) -> str:
+    """Spark SQL string form of :func:`h64` — parses to the same
+    Catalyst tree, for F.expr-batched plan construction."""
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def perm(col: Column, i: int) -> Column:
     """i-th minhash permutation of an h64 value (column form)."""
     return (F.lit(MINHASH_A[i]) * (col % F.lit(P31)) + F.lit(MINHASH_B[i])) % F.lit(P31)

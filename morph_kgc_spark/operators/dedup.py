@@ -28,7 +28,8 @@ from morph_kgc_spark.functions.hashing import (
     LSH_ROWS,
     N_PERMS,
     h64,
-    perm,
+    h64_spark_sql,
+    perm_sql,
 )
 from morph_kgc_spark.operators import cache
 from morph_kgc_spark.operators.text import (
@@ -107,8 +108,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     :func:`shingle_arrays`.
     """
     sh = shingles(df, id_col, text_col, n)
-    base = h64(F.col("shingle"))
-    aggs = [F.min(perm(base, i)).alias(f"sig_{i}") for i in range(N_PERMS)]
+    # one F.expr per aggregate instead of ~7 py4j Column calls each
+    # (16 perms × 7 ≈ 112 driver round-trips; part of the round-4
+    # plan-build fixed cost) — the parsed Catalyst tree is identical
+    base = h64_spark_sql("`shingle`")
+    aggs = [F.expr(f"min({perm_sql(base, i)}) AS sig_{i}")
+            for i in range(N_PERMS)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -190,13 +195,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     buckets (see :func:`_grouped_pairs`).
     """
     sigs = minhash_signatures(df, id_col, text_col, n)
-    buckets = F.array(*[
-        F.md5(F.concat_ws("|", *[
-            F.col(f"sig_{b * LSH_ROWS + r}").cast("string")
-            for r in range(LSH_ROWS)
-        ]))
-        for b in range(LSH_BANDS)
-    ])
+    buckets = F.expr("array(%s)" % ", ".join(
+        "md5(concat_ws('|', %s))" % ", ".join(
+            f"CAST(sig_{b * LSH_ROWS + r} AS STRING)"
+            for r in range(LSH_ROWS))
+        for b in range(LSH_BANDS)))
     # one explode of the band INDEX instead of LSH_BANDS unions (which
     # would recompute the signature projection per band); every item
     # carries its full bucket vector so cross-band dedup is a per-pair
@@ -254,17 +257,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col),
         F.explode_outer(tokens(F.col(text_col))).alias("token"),
     ).where(F.col("token").isNotNull())
-    h = h64(F.col("token"))
+    # F.expr strings: the Column form of these `bits`-wide expression
+    # lists paid ~200 py4j round-trips of driver plan-build per query
+    h = h64_spark_sql("`token`")
     sums = [
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        F.expr(f"sum(CASE WHEN (shiftright({h}, {j}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END) AS b{j}")
         for j in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*sums)
-    sim = None
-    for j in range(bits):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim + bit
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    sim = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2 ** j}L ELSE 0L END)"
+        for j in range(bits))
+    return agg.select(F.col(id_col), F.expr(f"({sim}) AS simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -313,17 +318,14 @@ def _simhash_pairs_from_sig(sig: DataFrame, id_col: str, max_hamming: int,
     # it through codegen across tasks. The persisted signature is shared
     # by both join sides (aliased self-join sides get no ReusedExchange).
     width = bits // n_bands
+    mask = (1 << width) - 1
     bands = sig.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
-                 .bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
-            )
-            for b in range(n_bands)
-        ])).alias("bb"),
+        F.expr("explode(array(%s))" % ", ".join(
+            f"struct({b} AS band, "
+            f"shiftright(simhash, {b * width}) & {mask} AS val)"
+            for b in range(n_bands))).alias("bb"),
     ).select(id_col, "simhash", F.col("bb.band").alias("band"),
              F.col("bb.val").alias("val"))
     a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),

@@ -174,14 +174,19 @@ def decode_bmp(content: bytes) -> np.ndarray:
 
 
 def decode_ppm(content: bytes) -> np.ndarray:
-    # P6 <ws> width <ws> height <ws> maxval <single-ws> raster
-    parts = content.split(maxsplit=4)
-    if parts[0] != b"P6":
+    # P6 <ws> width <ws> height <ws> maxval <ONE ws> raster — the spec
+    # mandates exactly one whitespace byte before the raster, so the
+    # header is matched by offset (a whitespace split would silently eat
+    # raster bytes that happen to be 0x20/0x09/0x0A)
+    import re as _re
+
+    m = _re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", content)
+    if not m:
         raise ValueError("only binary PPM (P6) supported")
-    width, height, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    width, height, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
     if maxval != 255:
         raise ValueError("only maxval 255 PPM supported")
-    raster = parts[4] if len(parts) > 4 else b""
+    raster = content[m.end():]
     return np.frombuffer(raster, dtype=np.uint8,
                          count=width * height * 3).reshape(height, width, 3)
 

@@ -46,6 +46,84 @@ IMAGE_META_SCHEMA = StructType([
 ])
 
 
+# synthetic P6 fixture parameters shared with the DuckDB oracle
+# (oracles.multimodal_decode_stats): width/height from the id, raster
+# bytes from the id's md5 hex repeated — every piece SQL-replayable.
+SYNTH_W_BASE, SYNTH_W_MOD = 4, 5
+SYNTH_H_BASE, SYNTH_H_MOD = 3, 4
+
+
+def synth_ppm_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL P6-PPM binaries from an integer id column.
+
+    (media_id, kind, content, mime) per row: width = 4 + id % 5,
+    height = 3 + id % 4, raster = md5-hex(id) repeated to w·h·3 bytes.
+    mapInPandas (Arrow batches, zero shuffle) — the production shape for
+    media ingestion; the image libs absent from this container are not
+    needed because the codec is the stdlib one in imagecodec.py.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "content": [], "mime": []}
+            for v in pdf[id_col]:
+                i = int(v)
+                w = SYNTH_W_BASE + i % SYNTH_W_MOD
+                h = SYNTH_H_BASE + i % SYNTH_H_MOD
+                need_hex = w * h * 3 * 2
+                hx = hashlib.md5(str(i).encode()).hexdigest()
+                px = (hx * -(-need_hex // len(hx)))[:need_hex]
+                rows["media_id"].append(str(i))
+                rows["kind"].append("image")
+                rows["content"].append(
+                    b"P6\n%d %d\n255\n" % (w, h) + bytes.fromhex(px))
+                rows["mime"].append("image/x-portable-pixmap")
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("pixel_hash", StringType()),
+])
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL decode → (media_id, width, height, n_channels, pixel_hash).
+
+    ``pixel_hash`` is md5 of the decoded raster's lowercase hex STRING
+    (not the raw bytes): hashing in hex-string space lets the DuckDB
+    oracle replay the exact value without blob hashing, proving the
+    decode produced the raster byte-for-byte — dimensions alone would
+    pass on a header-only sniff.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from morph_kgc_spark.operators.imagecodec import decode_image
+
+        for pdf in it:
+            rows = {k.name: [] for k in PIXEL_STATS_SCHEMA.fields}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    continue
+                arr = decode_image(bytes(c))
+                h, w = arr.shape[:2]
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_channels"].append(
+                    arr.shape[2] if arr.ndim == 3 else 1)
+                rows["pixel_hash"].append(hashlib.md5(
+                    arr.tobytes().hex().encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
 def _fake_decode(content: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for formats that DO need external codecs
     (JPEG/WebP): dimensions derived from the content hash."""

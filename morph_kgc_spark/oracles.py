@@ -819,3 +819,36 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal: decoded-image stats (operators/multimodal.py synth_ppm_media
+# + image_pixel_stats — the REAL stdlib P6 decode, verified end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_decode_stats() -> str:
+    """Replays the synthetic-P6 pipeline entirely in SQL: dimensions from
+    the id, raster hex = md5(id) repeated/truncated, pixel_hash = md5 of
+    that hex string. The Spark side must ENCODE the PPM, DECODE it with
+    the stdlib codec, and hash the decoded raster to match."""
+    from morph_kgc_spark.operators.multimodal import (
+        SYNTH_H_BASE,
+        SYNTH_H_MOD,
+        SYNTH_W_BASE,
+        SYNTH_W_MOD,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CAST({SYNTH_W_BASE} + doc_id % {SYNTH_W_MOD} AS INT) AS width,
+         CAST({SYNTH_H_BASE} + doc_id % {SYNTH_H_MOD} AS INT) AS height
+  FROM documents
+)
+SELECT media_id, width, height, 3 AS n_channels,
+       md5(substr(repeat(md5(media_id),
+                         CAST(ceil((width * height * 3 * 2) / 32.0) AS INT)),
+                  1, width * height * 3 * 2)) AS pixel_hash
+FROM d
+"""

@@ -30,10 +30,18 @@ from pyspark.sql import functions as F
 
 from morph_kgc_spark import model as M
 from morph_kgc_spark.functions.encoding import (
+    _SAFE_CHARS,
     natural_mapping_col,
     ntriples_escape_col,
     ntriples_escape_py,
     percent_encode_col,
+)
+from morph_kgc_spark.functions.sqlexpr import (
+    natural_mapping_sql,
+    ntriples_escape_sql,
+    percent_encode_sql,
+    sql_ident,
+    sql_str,
 )
 from morph_kgc_spark.operators.joins import join_child_parent
 
@@ -75,33 +83,37 @@ def prepare_source(df: DataFrame, references: Iterable[str],
     refs = list(references)
     if fill_missing:
         existing = set(df.columns)
-        for r in refs:
-            if r not in existing:
-                # includes '.*'-wildcard references (country.*.label):
-                # the reference's JSONPath extraction also yields nothing
-                # for them (json/complex expects NO such triples), so
-                # they become all-null and their rows drop
-                df = df.withColumn(r, F.lit(None).cast("string"))
+        missing = [r for r in refs if r not in existing]
+        if missing:
+            # includes '.*'-wildcard references (country.*.label):
+            # the reference's JSONPath extraction also yields nothing
+            # for them (json/complex expects NO such triples), so
+            # they become all-null and their rows drop
+            df = df.select(
+                "*", *[F.expr(f"CAST(NULL AS STRING) AS {sql_ident(r)}")
+                       for r in missing])
     null_subset = list(drop_null_subset) if drop_null_subset is not None else refs
 
     def _not_null(frame, subset):
         # conjunction of plain IsNotNull: pushes down to the parquet
         # scan's PushedFilters (row-group/page skipping at 100 TB), and
-        # unlike na.drop it accepts XPath-ish column names like '.'
-        cond = None
-        for r in subset:
-            c = _ref_col(r).isNotNull()
-            cond = c if cond is None else cond & c
-        return frame.where(cond) if cond is not None else frame
+        # unlike na.drop it accepts XPath-ish column names like '.';
+        # ONE where(condition-string) — a single py4j round-trip
+        if not subset:
+            return frame
+        return frame.where(" AND ".join(
+            f"{sql_ident(r)} IS NOT NULL" for r in subset))
 
     out = _not_null(df, null_subset)
-    cols = []
+    # str-coerce + na_values as one selectExpr: nullif(c, na) is exactly
+    # the when(c == na, NULL).otherwise(c) chain, parsed in one shot
+    exprs = []
     for r in refs:
-        c = _ref_col(r).cast("string")
+        e = f"CAST({sql_ident(r)} AS STRING)"
         for na in na_values:
-            c = F.when(c == F.lit(na), F.lit(None)).otherwise(c)
-        cols.append(c.alias(r))
-    out = out.select(*cols)
+            e = f"nullif({e}, {sql_str(na)})"
+        exprs.append(f"{e} AS {sql_ident(r)}")
+    out = out.selectExpr(*exprs)
     out = _not_null(out, null_subset)
     if dedup:
         out = out.dropDuplicates()
@@ -142,6 +154,60 @@ def _resolve_base(term: Column, base_iri: str) -> Column:
             .otherwise(F.concat(F.lit(base_iri), term))
 
 
+def _resolve_base_sql(term: str, base_iri: str) -> str:
+    return (f"(CASE WHEN {term} RLIKE {sql_str(_ABSOLUTE_IRI_RE)} "
+            f"THEN {term} ELSE concat({sql_str(base_iri)}, {term}) END)")
+
+
+def _wrap_sql(term: str, termtype: str) -> str:
+    if termtype == M.IRI:
+        return f"concat('<', {term}, '>')"
+    if termtype == M.BLANK_NODE:
+        return f"concat('_:', {term})"
+    if termtype == M.LITERAL:
+        return f"concat('\"', {term}, '\"')"
+    return term
+
+
+def _term_sql(tm: M.TermMap, *, datatype: Optional[str] = None,
+              col_prefix: str = "", wrap: bool = True,
+              base_iri: str = "") -> str | None:
+    """SQL-string form of :func:`compile_term`, or ``None`` when the
+    term needs the Column path (FNML executions; non-ASCII safe chars).
+
+    One ``F.expr`` on this string parses to the IDENTICAL Catalyst tree
+    the Column builders produce, for one py4j round-trip instead of
+    dozens (the round-4 ~1.3 s/flagship plan-build constant; see
+    functions/sqlexpr.py). Semantics are compile_term's, including the
+    reference parity notes there.
+    """
+    if tm.kind == M.CONSTANT:
+        return sql_str(_wrap_py(tm.value, tm.termtype) if wrap else tm.value)
+    if tm.kind == M.EXECUTION:
+        return None
+
+    template = tm.value if tm.kind == M.TEMPLATE else "{" + tm.value + "}"
+    parts, refs = _template_parts(template)
+    pieces: list[str] = []
+    for part, ref in zip(parts, refs):
+        if part:
+            pieces.append(sql_str(part))
+        e = sql_ident(col_prefix + ref)
+        if tm.termtype == M.IRI and tm.kind == M.TEMPLATE:
+            e = percent_encode_sql(e, _SAFE_CHARS.get())
+            if e is None:
+                return None
+        elif tm.termtype == M.LITERAL:
+            e = ntriples_escape_sql(natural_mapping_sql(e, datatype))
+        pieces.append(e)
+    if parts[-1]:
+        pieces.append(sql_str(parts[-1]))
+    term = pieces[0] if len(pieces) == 1 else f"concat({', '.join(pieces)})"
+    if tm.termtype == M.IRI and base_iri:
+        term = _resolve_base_sql(term, base_iri)
+    return _wrap_sql(term, tm.termtype) if wrap else term
+
+
 def compile_term(tm: M.TermMap, *, datatype: Optional[str] = None,
                  col_prefix: str = "", wrap: bool = True,
                  base_iri: str = "") -> Column:
@@ -152,10 +218,21 @@ def compile_term(tm: M.TermMap, *, datatype: Optional[str] = None,
     are percent-encoded (IRI position) or natural-mapped + escaped (literal
     position); then the whole term is termtype-wrapped. ``base_iri``
     (document-driven mappings only) resolves relative IRI results.
+
+    Non-execution terms render as ONE SQL string parsed by a single
+    ``F.expr`` (:func:`_term_sql`) — same Catalyst tree, ~30× fewer py4j
+    round-trips; executions and non-ASCII safe-char modes keep the
+    Column path below.
     """
     if tm.kind == M.CONSTANT:
         # driver-side constant folding (materializer.py:919-923)
         return F.lit(_wrap_py(tm.value, tm.termtype) if wrap else tm.value)
+
+    if tm.kind != M.EXECUTION:
+        s = _term_sql(tm, datatype=datatype, col_prefix=col_prefix,
+                      wrap=wrap, base_iri=base_iri)
+        if s is not None:
+            return F.expr(s)
 
     if tm.kind == M.EXECUTION:
         # FNML function execution (reference: fnml_executer.py:69-122,
@@ -251,11 +328,32 @@ def _wrap_col(col: Column, termtype: str) -> Column:
     return col
 
 
+def _object_sql(rule: M.Rule, col_prefix: str = "") -> str | None:
+    """SQL-string form of :func:`_object_column` (``None`` → Column path)."""
+    datatype_iri = (rule.datatype.value
+                    if rule.datatype is not None and rule.datatype.kind == M.CONSTANT
+                    else None)
+    obj = _term_sql(rule.object, datatype=datatype_iri,
+                    col_prefix=col_prefix, base_iri=rule.base_iri)
+    if obj is None:
+        return None
+    if rule.language is not None:
+        lang = _term_sql(rule.language, wrap=False)
+        return None if lang is None else f"concat({obj}, '@', {lang})"
+    if rule.datatype is not None:
+        dt = _term_sql(rule.datatype.but(termtype=M.IRI))
+        return None if dt is None else f"concat({obj}, '^^', {dt})"
+    return obj
+
+
 def _object_column(rule: M.Rule, col_prefix: str = "") -> Column:
     """Object term + optional @lang / ^^<datatype> suffix.
 
     Reference: materializer.py:213-228.
     """
+    s = _object_sql(rule, col_prefix)
+    if s is not None:
+        return F.expr(s)
     datatype_iri = (rule.datatype.value
                     if rule.datatype is not None and rule.datatype.kind == M.CONSTANT
                     else None)
@@ -349,6 +447,13 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
                             "parent_" if rule.parent_source is not None else "")):
             if tm is not None and tm.termtype == M.IRI \
                     and tm.kind in (M.REFERENCE, M.EXECUTION):
+                raw_sql = None if tm.kind == M.EXECUTION else _term_sql(
+                    tm.but(termtype=""), wrap=False, col_prefix=prefix)
+                if raw_sql is not None:
+                    base = base.where(
+                        f"NOT ({raw_sql} RLIKE "
+                        f"{sql_str(_INVALID_IRI_CHARS_RE)})")
+                    continue
                 raw = compile_term(tm.but(termtype=""), wrap=False,
                                    col_prefix=prefix)
                 if tm.kind == M.EXECUTION:
@@ -552,6 +657,9 @@ def _quoted_triple_col(sub_rule: M.Rule, col_prefix: str = "") -> Column:
     Nested quoting (a quoted rule whose own subject/object is quoted,
     RMLSTARTC004a shape) recurses over the same rows.
     """
+    s_sql = _quoted_triple_sql(sub_rule, col_prefix=col_prefix)
+    if s_sql is not None:
+        return F.expr(s_sql)
     if sub_rule.quoted_subject is not None:
         s = _quoted_triple_col(sub_rule.quoted_subject, col_prefix=col_prefix)
     else:
@@ -567,6 +675,28 @@ def _quoted_triple_col(sub_rule: M.Rule, col_prefix: str = "") -> Column:
     else:
         o = _object_column(sub_rule, col_prefix=col_prefix)
     return F.concat(F.lit("<< "), s, F.lit(" "), p, F.lit(" "), o, F.lit(" >>"))
+
+
+def _quoted_triple_sql(sub_rule: M.Rule, col_prefix: str = "") -> str | None:
+    """SQL-string form of :func:`_quoted_triple_col` (``None`` → Column
+    path, e.g. FNML executions inside the quoted map)."""
+    if sub_rule.quoted_subject is not None:
+        s = _quoted_triple_sql(sub_rule.quoted_subject, col_prefix=col_prefix)
+    else:
+        s = _term_sql(sub_rule.subject, col_prefix=col_prefix,
+                      base_iri=sub_rule.base_iri)
+    p = _term_sql(sub_rule.predicate, col_prefix=col_prefix,
+                  base_iri=sub_rule.base_iri)
+    if sub_rule.quoted_object is not None:
+        if sub_rule.join_conditions:
+            raise NotImplementedError(
+                "join condition inside a *nested* quoted map is unsupported")
+        o = _quoted_triple_sql(sub_rule.quoted_object, col_prefix=col_prefix)
+    else:
+        o = _object_sql(sub_rule, col_prefix=col_prefix)
+    if s is None or p is None or o is None:
+        return None
+    return f"concat('<< ', {s}, ' ', {p}, ' ', {o}, ' >>')"
 
 
 def materialize_rules(spark: SparkSession, rules: list[M.Rule],

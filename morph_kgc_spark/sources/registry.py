@@ -141,7 +141,7 @@ class SourceRegistry:
                                    lexical=opts.get("lexical", "raw"))
             return spark.read.table(value)
         if kind == "parquet":
-            return spark.read.parquet(value)
+            return read_parquet_cached_schema(spark, value)
         if kind == "orc":
             return spark.read.orc(value)
         if kind == "csv":
@@ -197,6 +197,29 @@ class SourceRegistry:
         if kind == "pandas_any":
             return _pandas_fallback(spark, value, opts)
         raise ValueError(f"unknown source kind: {kind!r}")
+
+
+# parquet schemas by path, process-lifetime: schema inference is the
+# bulk of spark.read.parquet's driver cost (~80 ms/call: footer read +
+# datasource resolution), and a multi-rule mapping or a 40-query bench
+# session re-reads the same tables constantly. Parquet table schemas are
+# immutable for the life of a job; a service that rewrites files with a
+# NEW schema under the same path should clear this dict.
+_PARQUET_SCHEMAS: dict = {}
+
+
+def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with a process-level schema cache: the
+    first read of a path infers the schema from footers; later reads
+    pass it explicitly, skipping inference (file listing still runs, so
+    new PARTITIONS under the path are picked up — only the schema is
+    pinned)."""
+    schema = _PARQUET_SCHEMAS.get(path)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    _PARQUET_SCHEMAS[path] = df.schema
+    return df
 
 
 def _sniff_csv_delimiter(path: str) -> str | None:

@@ -135,6 +135,16 @@ def test_ppm_decode():
     assert sniff_format(ppm) == "ppm"
 
 
+def test_ppm_decode_raster_starting_with_whitespace_bytes():
+    """P6 mandates exactly ONE whitespace after maxval; raster bytes that
+    happen to be 0x20/0x09/0x0A must NOT be eaten by a whitespace split
+    (they are pixel data)."""
+    arr = _img(2, 2, 3, seed=5).copy()
+    arr[0, 0] = (0x20, 0x0A, 0x09)  # raster starts with ws-looking bytes
+    ppm = b"P6\n2 2\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(ppm), arr)
+
+
 def test_resize_nearest_deterministic():
     arr = _img(8, 8, 3)
     small = resize_nearest(arr, 4, 4)

@@ -166,6 +166,36 @@ def test_image_metadata_plumbing(spark):
     assert m["m1"].content_hash == meta2["m1"].content_hash
 
 
+def test_synth_ppm_roundtrip_pixel_stats(spark):
+    """synth_ppm_media emits REAL P6 binaries; image_pixel_stats decodes
+    them and its hash matches a driver-side replay of the pixel formula
+    (the same formula the DuckDB oracle runs in SQL)."""
+    import hashlib
+
+    from morph_kgc_spark.operators.multimodal import (
+        SYNTH_H_BASE,
+        SYNTH_H_MOD,
+        SYNTH_W_BASE,
+        SYNTH_W_MOD,
+        image_pixel_stats,
+        synth_ppm_media,
+    )
+
+    ids = spark.createDataFrame([(7,), (12,), (123,)], "doc_id long")
+    stats = {r.media_id: r
+             for r in image_pixel_stats(synth_ppm_media(ids, "doc_id")).collect()}
+    assert len(stats) == 3
+    for i in (7, 12, 123):
+        r = stats[str(i)]
+        w = SYNTH_W_BASE + i % SYNTH_W_MOD
+        h = SYNTH_H_BASE + i % SYNTH_H_MOD
+        assert (r.width, r.height, r.n_channels) == (w, h, 3)
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        need = w * h * 3 * 2
+        px_hex = (hx * -(-need // len(hx)))[:need]
+        assert r.pixel_hash == hashlib.md5(px_hex.encode()).hexdigest()
+
+
 def test_resize_unrecognized_format_raises(spark):
     # _media holds non-image bytes; real formats are covered in
     # tests/test_imagecodec.py
