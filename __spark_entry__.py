@@ -431,6 +431,25 @@ def q_ann_ivf_topk(spark, sf_dir):
                       k=5, nprobe=1)
 
 
+def q_ann_kmeans_cells(spark, sf_dir):
+    """Spark-native deterministic k-means coarse quantizer (min-id
+    seeds, scaled-integer centroid means) — cell assignment hash-exact
+    vs the DuckDB replay of the same Lloyd iterations."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.kmeans_cells(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN over TRAINED cells (no precomputed label): kmeans_train
+    driver-side, zero-shuffle assignment, then the two-stage probe."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = S.kmeans_train(emb, "vec_id", "embedding", k=8, iters=2)
+    corpus = S.with_kmeans_cell(emb, "embedding", cents)
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(corpus, queries, "vec_id", "embedding",
+                      cell_col="cell", k=5, nprobe=2)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -683,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gather_subject_seq": q_kg_gather_subject_seq,
         "kg_fnml_composed": q_kg_fnml_composed,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_kmeans_cells": q_ann_kmeans_cells,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -728,6 +749,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_gather_subject_seq": oracles.kg_gather_subject_seq(),
         "kg_fnml_composed": oracles.kg_fnml_composed(),
         "ann_ivf_topk": oracles.ann_ivf_topk(),
+        "ann_kmeans_cells": oracles.ann_kmeans_cells(),
+        "ann_ivf_kmeans_topk": oracles.ann_ivf_kmeans_topk(),
         "ann_lsh_topk": oracles.ann_lsh_topk(),
         "dedup_exact": oracles.dedup_exact(),
         "dedup_minhash_lsh": oracles.dedup_minhash_lsh(),

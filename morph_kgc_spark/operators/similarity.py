@@ -98,6 +98,101 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("query_id", "neighbor_id", "rank", "cos_sim"))
 
 
+def _double_lit(x: float) -> str:
+    """Shortest round-trip double literal for Spark SQL (``D`` suffix —
+    a bare decimal would parse as DECIMAL)."""
+    return repr(float(x)) + "D"
+
+
+def _with_cell(vdf: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Assign each row's ``v`` to its nearest centroid → ``cell`` column.
+
+    Centroids are embedded as literal arrays, so assignment is a pure
+    per-row projection — ZERO shuffle over the corpus (the MLlib
+    broadcast-centroid shape). Distances evaluate in index order and the
+    argmin is ``array_position(d, array_min(d))`` — first-match, so ties
+    break to the LOWEST cell, exactly like the oracle's replay. The
+    distance array is materialized in its own projection to avoid
+    duplicating k·dim literals into the argmin expression.
+    """
+    dists = ", ".join(
+        "aggregate(zip_with(v, array(%s), (x, c) -> (x - c) * (x - c)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+        % ", ".join(_double_lit(x) for x in c)
+        for c in cents)
+    return (vdf.withColumn("__d", F.expr(f"array({dists})"))
+            .withColumn("cell", F.expr(
+                "CAST(array_position(__d, array_min(__d)) - 1 AS INT)"))
+            .drop("__d"))
+
+
+def kmeans_train(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
+                 iters: int = 2) -> list[list[float]]:
+    """Deterministic Lloyd's k-means → driver-side centroid list.
+
+    Spark-native and replayable by the DuckDB oracle bit-for-bit:
+
+    - **init**: the vectors of the ``k`` smallest ids (min-id seeds — no
+      RNG, so every engine and every restart trains the same model);
+    - **assign**: nearest centroid by squared L2 in coordinate order,
+      ties to the lowest cell (:func:`_with_cell`) — zero shuffle;
+    - **update**: per-cell means in SCALED-INTEGER space: coordinates
+      become ``CAST(round(x·1e6) AS BIGINT)`` and are summed exactly —
+      integer addition is order-independent, where a double sum would
+      depend on partitioning and break both determinism and the oracle.
+      The mean ``(s/n)/1e6`` is exact while ``s < 2^53`` (|x| ≤ ~1 up to
+      ~9e9 rows per cell; beyond that switch the scale factor down).
+      Empty cells keep their previous centroid.
+
+    Per iteration: one job (scan + groupBy(cell, pos) with map-side
+    partials over k·dim groups) collecting k·dim tiny rows to the
+    driver — the classic iterative-refinement shape; the corpus is never
+    collected. ``iters`` counts assignment rounds; updates run between
+    them (iters=2 → seed-assign, update, final centroids returned).
+    """
+    v = _parallelize_narrow(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    seeds = v.orderBy("id").limit(k).collect()
+    cents = [list(r.v) for r in seeds]
+    for _ in range(iters - 1):
+        agg = (_with_cell(v, cents)
+               .select("cell", F.posexplode(F.expr(
+                   "transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT))"
+               )).alias("pos", "xi"))
+               .groupBy("cell", "pos")
+               .agg(F.sum("xi").alias("s"), F.count("*").alias("n"))
+               .collect())
+        new = [list(c) for c in cents]  # empty cells keep old centroid
+        for r in agg:
+            new[r.cell][r.pos] = (r.s / r.n) / 1e6
+        cents = new
+    return cents
+
+
+def kmeans_cells(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
+                 iters: int = 2) -> DataFrame:
+    """(id, cell): coarse-quantizer assignment from :func:`kmeans_train`.
+
+    The IVF entry point for corpora WITHOUT a precomputed label — train
+    driver-side (k·dim doubles), then one zero-shuffle assignment
+    projection over the corpus. Hash-exact vs the DuckDB replay of the
+    same iterations (oracles.ann_kmeans_cells).
+    """
+    cents = kmeans_train(df, id_col, vec_col, k=k, iters=iters)
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    return _with_cell(v, cents).select(F.col("id").alias(id_col), "cell")
+
+
+def with_kmeans_cell(df: DataFrame, vec_col: str,
+                     cents: list[list[float]]) -> DataFrame:
+    """Add a ``cell`` column (nearest trained centroid) to ``df`` —
+    zero-shuffle projection; the IVF corpus-preparation step."""
+    tmp = df.withColumn("v", F.col(vec_col).cast("array<double>"))
+    return _with_cell(tmp, cents).drop("v")
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, cell_col: str, k: int = 5,
              nprobe: int = 1) -> DataFrame:

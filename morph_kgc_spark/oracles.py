@@ -852,3 +852,100 @@ SELECT media_id, width, height, 3 AS n_channels,
                   1, width * height * 3 * 2)) AS pixel_hash
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# k-means coarse quantizer (operators/similarity.py kmeans_train/kmeans_cells)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
+                 scale: int = 1_000_000) -> str:
+    """CTE chain replaying kmeans_train/kmeans_cells bit-for-bit:
+    min-id seeds, per-cell SCALED-INTEGER means (exact,
+    order-independent), squared-L2 assignment in coordinate order with
+    lowest-cell tie-break. Final assignment CTE is ``kcells``."""
+
+    def dist(vexpr: str, cexpr: str) -> str:
+        return (f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> ({vexpr}[i] - {cexpr}[i]) * ({vexpr}[i] - {cexpr}[i])))")
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT id, v, cell FROM (
+    SELECT c.id, c.v, s.cell,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY {dist('c.v', 's.v')}, s.cell) AS rn
+    FROM c CROSS JOIN {cent} s
+  ) WHERE rn = 1)"""
+
+    parts = [
+        """c AS (SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings)""",
+        f"""cent0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v
+    FROM (SELECT id, v FROM c ORDER BY id LIMIT {k}))""",
+    ]
+    for it in range(iters - 1):
+        parts.append(assign(f"a{it}", f"cent{it}"))
+        parts.append(f"""u{it} AS (
+  SELECT cell, t.i AS pos,
+         SUM(CAST(round(v[t.i] * {scale}) AS BIGINT)) AS sx,
+         COUNT(*) AS n
+  FROM a{it}, range(1, {dim + 1}) t(i) GROUP BY cell, t.i)""")
+        parts.append(f"""cent{it + 1} AS (
+  SELECT p.cell, COALESCE(u.vv, p.v) AS v
+  FROM cent{it} p LEFT JOIN (
+    SELECT cell, list((CAST(sx AS DOUBLE) / n) / {scale}.0 ORDER BY pos) AS vv
+    FROM u{it} GROUP BY cell) u USING (cell))""")
+    parts.append(assign("kcells", f"cent{iters - 1}"))
+    return ",\n".join(parts)
+
+
+def ann_kmeans_cells(k: int = 8, iters: int = 2) -> str:
+    return f"""
+WITH {_kmeans_ctes(k, iters)}
+SELECT id AS vec_id, cell FROM kcells
+"""
+
+
+def ann_ivf_kmeans_topk(k: int = 5, n_queries: int = 10, nprobe: int = 2,
+                        n_cells: int = 8, iters: int = 2) -> str:
+    """IVF top-k over TRAINED k-means cells (no precomputed label):
+    the kmeans CTE chain feeds the same two-stage IVF logic as
+    ann_ivf_topk."""
+    dot_qc = ("list_sum(list_transform(generate_series(1, 64), "
+              "i -> qv[i] * centroid[i]))")
+    dot_qv = ("list_sum(list_transform(generate_series(1, 64), "
+              "i -> qv[i] * cv[i]))")
+    return f"""
+WITH {_kmeans_ctes(n_cells, iters)},
+cc AS (SELECT id AS vec_id, cell, v FROM kcells),
+cent AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+    SELECT cell, t.i AS pos, avg(v[t.i]) AS m
+    FROM cc, range(1, 65) t(i)
+    GROUP BY cell, t.i
+  ) GROUP BY cell
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM cc WHERE vec_id < {n_queries}),
+probed AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({dot_qc}, 6) DESC, cent.cell) AS cr
+    FROM q, cent
+  ) WHERE cr <= {nprobe}
+),
+scored AS (
+  SELECT query_id, cc.vec_id AS neighbor_id,
+         round({dot_qv.replace('cv', 'cc.v')}, 6) AS cos_sim
+  FROM probed JOIN cc ON cc.cell = probed.cell
+  WHERE cc.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

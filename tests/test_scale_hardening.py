@@ -169,3 +169,43 @@ def test_scrub_pii_masks_and_counts(spark):
     assert (out[2].n_emails, out[2].n_numbers) == (0, 1)
     assert out[3].clean_text == "clean text only"
     assert out[4].n_emails == 2 and out[4].n_numbers == 1
+
+
+def test_kmeans_cells_deterministic_and_correct(spark):
+    """Deterministic Lloyd's quantizer: min-id seeds, scaled-integer
+    means, lowest-cell tie-break — two well-separated clusters assign
+    exactly; repeat runs produce identical centroids."""
+    from morph_kgc_spark.operators.similarity import (
+        kmeans_cells,
+        kmeans_train,
+    )
+
+    rows = [(i, [10.0 + (i % 3) * 0.1, 10.0]) for i in range(6)] + \
+           [(i, [-10.0, -10.0 - (i % 3) * 0.1]) for i in range(6, 12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells = {r.vec_id: r.cell
+             for r in kmeans_cells(df, "vec_id", "embedding",
+                                   k=2, iters=3).collect()}
+    # seeds are ids 0 and 1 (both in the + cluster) — after updates the
+    # two centroids separate into the two real clusters
+    assert len(set(cells.values())) == 2
+    assert {cells[i] for i in range(6)} != {cells[i] for i in range(6, 12)}
+    c1 = kmeans_train(df, "vec_id", "embedding", k=2, iters=3)
+    c2 = kmeans_train(df, "vec_id", "embedding", k=2, iters=3)
+    assert c1 == c2  # bit-identical across runs
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """A centroid that captures no vectors keeps its position instead of
+    producing nulls (the oracle's COALESCE twin)."""
+    from morph_kgc_spark.operators.similarity import kmeans_train
+
+    # ids 0,1 seed at the SAME point: every vector ties to the lower
+    # cell, so cell 1 captures nothing in round 1 and must keep its seed
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]),
+            (2, [0.2, 0.0]), (3, [0.3, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_train(df, "vec_id", "embedding", k=2, iters=2)
+    assert cents[1] == [0.0, 0.0]  # kept via the empty-cell fallback
+    assert cents[0] != [0.0, 0.0]  # cell 0 moved to the members' mean
+    assert all(x is not None for c in cents for x in c)
