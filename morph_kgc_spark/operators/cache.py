@@ -25,6 +25,29 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
+# owned persisted intermediates by their analyzed plan's semanticHash —
+# the ownership record that SURVIVES transformations: df.where(...)
+# returns a fresh Python wrapper (dropping any attribute), but its
+# analyzed tree still CONTAINS the persisted intermediate's subtree, and
+# semanticHash is exprId-normalized so the subtree is findable from any
+# derivative. Strong refs are fine: the entries die exactly when
+# released, and an unreleased persist would pin its blocks anyway.
+_OWNED_BY_HASH: dict[int, list[DataFrame]] = {}
+
+
+def _plan_semantic_hashes(df: DataFrame) -> set[int]:
+    """semanticHash of every node in the frame's analyzed logical plan."""
+    hashes: set[int] = set()
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        hashes.add(int(node.semanticHash()))
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return hashes
+
+
 def own(result: DataFrame, intermediates: list[DataFrame]) -> DataFrame:
     """Attach persisted intermediates to ``result`` for deferred release.
 
@@ -38,17 +61,28 @@ def own(result: DataFrame, intermediates: list[DataFrame]) -> DataFrame:
     :func:`release` frees them afterwards. Ownership composes: owning an
     already-owning frame chains its dependencies.
 
-    Ownership lives on the PYTHON WRAPPER object, not the plan: any
-    transformation (``df.where(...)``, ``df.select(...)``) returns a new
-    wrapper without it — release the frame the operator RETURNED, not a
-    derivative, or chain the ownership forward explicitly with
-    ``own(derived, [original])``.
+    Ownership is ALSO recorded in a plan-keyed registry
+    (``_OWNED_BY_HASH``), so it survives transformations: releasing a
+    DERIVATIVE (``release(result.where(...))``) finds the intermediate's
+    subtree in the derivative's analyzed plan by semanticHash and frees
+    it (round-4 advice: the wrapper attribute alone was lost on any
+    select/where). Two logically IDENTICAL plans share a semanticHash;
+    releasing one frees owned intermediates of both — acceptable,
+    because identical owned plans hold identical (re-computable) caches.
     """
     owned = list(getattr(result, "_mkgc_owned", ()))
     for dep in intermediates:
         owned.extend(getattr(dep, "_mkgc_owned", ()))
         owned.append(dep)
     result._mkgc_owned = owned
+    for dep in owned:
+        try:
+            h = int(dep._jdf.queryExecution().analyzed().semanticHash())
+            bucket = _OWNED_BY_HASH.setdefault(h, [])
+            if not any(d is dep for d in bucket):
+                bucket.append(dep)
+        except Exception:
+            pass
     return result
 
 
@@ -62,13 +96,41 @@ def release(df: DataFrame) -> None:
     handles here are stable internals — same class of access as the
     session's own ``_jsc`` — and the hygiene test pins the behavior.)
     """
+    released: list[DataFrame] = []
     for dep in getattr(df, "_mkgc_owned", ()):
         try:
             dep.unpersist()
+            released.append(dep)
         except Exception:
             pass
     if hasattr(df, "_mkgc_owned"):
         df._mkgc_owned = []
+    # registry pass: free owned intermediates whose subtree appears in
+    # THIS frame's plan — works on derivatives of the owning frame too
+    try:
+        in_plan = _plan_semantic_hashes(df)
+        for h in list(_OWNED_BY_HASH):
+            if h in in_plan:
+                for dep in _OWNED_BY_HASH.pop(h):
+                    try:
+                        dep.unpersist()
+                    except Exception:
+                        pass
+    except Exception:
+        pass
+    # purge wrapper-released deps from the registry so entries (and
+    # their python wrappers) do not accumulate over a long session
+    for dep in released:
+        try:
+            h = int(dep._jdf.queryExecution().analyzed().semanticHash())
+            bucket = [d for d in _OWNED_BY_HASH.get(h, ())
+                      if d is not dep]
+            if bucket:
+                _OWNED_BY_HASH[h] = bucket
+            else:
+                _OWNED_BY_HASH.pop(h, None)
+        except Exception:
+            pass
     try:
         plan = df._jdf.queryExecution().analyzed()
         if not plan.getClass().getName().endswith(".LogicalRDD"):

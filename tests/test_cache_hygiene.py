@@ -115,3 +115,35 @@ def test_dup_clusters_releases_round_blocks(spark):
         f"iteration checkpoints must be released per round, got {leaked}"
     release(out)
     assert persistent_rdd_ids(spark) - before == set()
+
+
+def test_release_of_derivative_frees_owned_persists(spark):
+    """Ownership survives transformations (round-4 advice / round-5
+    directive): releasing a FILTERED/PROJECTED derivative of an owning
+    frame finds the persisted intermediate in the derivative's plan and
+    frees it — the wrapper attribute alone was lost on any select/where."""
+    before = persistent_rdd_ids(spark)
+    out = D.simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=6,
+                          lazy=True)
+    derived = out.where(F.col("id_a") >= 0).select("id_a", "id_b")
+    derived.count()
+    assert persistent_rdd_ids(spark) - before, \
+        "sanity: the signature persist should be live"
+    release(derived)  # NOT the frame the operator returned
+    assert persistent_rdd_ids(spark) - before == set(), \
+        "release(derivative) must free the upstream owned persists"
+
+
+def test_release_of_filtered_pipeline_output_is_clean(spark):
+    """The round-5 directive's exact scenario: a filtered run_pipeline
+    output released without the original wrapper leaves
+    persistent_rdd_ids clean."""
+    from morph_kgc_spark.pipeline.pages import run_pipeline
+
+    before = persistent_rdd_ids(spark)
+    out = run_pipeline(spark, 300, n_entities=16)
+    derived = out.where("subject IS NOT NULL")
+    assert derived.count() > 0
+    release(derived)
+    assert persistent_rdd_ids(spark) - before == set(), \
+        "release(filtered pipeline output) must leave the session clean"
