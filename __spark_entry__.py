@@ -474,6 +474,15 @@ def q_dedup_minhash_capped(spark, sf_dir):
                                "doc_id", "text", bucket_cap=2)
 
 
+def q_dedup_ngram_capped(spark, sf_dir):
+    """Shingle-posting candidate pairs with the star skew cap: posting
+    lists longer than 3 emit a connectivity-preserving min-id star
+    instead of the quadratic (max df at this SF is 7, so the star path
+    genuinely fires); exact jaccard over all shingles per candidate."""
+    return D.ngram_capped_pairs(_read(spark, sf_dir, "documents"),
+                                "doc_id", "text", star_cap=3)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -711,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_capped": q_dedup_ngram_capped,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_clusters": q_dedup_clusters,
         "text_pii_scrub": q_text_pii_scrub,
@@ -758,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracles.dedup_simhash(),
         "dedup_simhash_pairs": oracles.dedup_simhash_pairs(),
         "dedup_ngram_jaccard": oracles.dedup_ngram_jaccard_topk(),
+        "dedup_ngram_capped": oracles.dedup_ngram_capped(),
         "dedup_embedding_cosine": oracles.dedup_embedding_cosine(0.3),
         "dedup_clusters": oracles.dedup_clusters(),
         "text_pii_scrub": oracles.text_pii_scrub(),

@@ -468,6 +468,62 @@ def _ngram_topk(sh: DataFrame, sizes: DataFrame, dfreq, id_col: str, k: int,
     return jac.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(k)
 
 
+def ngram_capped_pairs(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, star_cap: int = 64,
+                       lazy: bool = False) -> DataFrame:
+    """Shingle-sharing candidate pairs with the posting-list skew cap,
+    carrying exact Jaccard over ALL shingles: (id_a, id_b, jaccard).
+
+    The uncapped posting self-join (:func:`ngram_jaccard_topk`'s rare
+    side) is bounded by Σ df² — an adversarial corpus where one shingle
+    appears everywhere makes that quadratic in the corpus. Posting lists
+    longer than ``star_cap`` emit a connectivity-preserving STAR (min-id
+    hub paired with each other member, the same trick as minhash's
+    ``bucket_cap``): O(df) rows, and every member still reaches the
+    hub's connected component — clustering consumers (``dup_clusters``)
+    lose nothing. Pairs whose every shared shingle is starred away are
+    the only loss; within the cap, the pair set and its jaccard values
+    are byte-identical to the exhaustive plan's.
+
+    Plan: ONE grouping shuffle builds per-shingle postings and emits the
+    capped pairs row-locally (:func:`_grouped_pairs`), a pair-distinct
+    collapses multi-shingle duplicates, then the exact jaccard is
+    computed per candidate with two posting joins — cost
+    |candidates| × shingles-per-doc, never all-pairs.
+    """
+    base = shingle_arrays(df, id_col, text_col, n)
+    sh = base.select(F.col(id_col), F.explode_outer("grams").alias("shingle")) \
+             .where(F.col("shingle").isNotNull())
+    sizes = base.select(F.col(id_col), F.size("grams").alias("sz"))
+    cand = (
+        _grouped_pairs(sh, ["shingle"], F.col(id_col), bucket_cap=star_cap)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .dropDuplicates()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out if lazy else out.localCheckpoint()
+
+
 def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
                  max_iterations: int = 50) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id).

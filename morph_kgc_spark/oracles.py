@@ -949,3 +949,34 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def dedup_ngram_capped(cap: int = 3) -> str:
+    """Twin of ngram_capped_pairs(star_cap=cap): posting lists larger
+    than ``cap`` contribute star edges only (min-id hub), smaller lists
+    the full i<j pairs; jaccard is exact over ALL shingles for every
+    surviving candidate."""
+    return f"""
+WITH {_shingles_cte(3)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+counted AS (
+  SELECT doc_id, shingle,
+         count(*) OVER (PARTITION BY shingle) AS pn,
+         min(doc_id) OVER (PARTITION BY shingle) AS hub
+  FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM counted a JOIN counted b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id AND (a.pn <= {cap} OR a.doc_id = a.hub)),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+"""
