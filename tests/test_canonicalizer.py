@@ -97,3 +97,61 @@ def test_public_compare_api():
     assert canonical_nquads(a) == canonical_nquads(b)
     assert not isomorphic(a, ['_:x <http://p> _:y .',
                               '_:x <http://p> "1" .'])
+
+
+def test_disjoint_symmetric_components_complete_and_fast():
+    """10 disjoint mutual-edge bnode pairs: color refinement cannot
+    separate ANY node, and the former depth-8 label-order fallback
+    false-negatived on scrambled labels. Component splitting makes the
+    complete search linear here (round-5 directive #7)."""
+    import random
+    import time
+
+    from morph_kgc_spark.compare import isomorphic
+
+    p = "<http://x.org/p>"
+
+    def pairs_graph(names):
+        out = []
+        for i in range(0, len(names), 2):
+            a, b = names[i], names[i + 1]
+            out.append(f"_:{a} {p} _:{b} .")
+            out.append(f"_:{b} {p} _:{a} .")
+        return out
+
+    base = [f"n{i}" for i in range(20)]
+    g1 = pairs_graph(base)
+    # scrambled labels AND scrambled pairing over the same node names —
+    # still 10 mutual pairs, so isomorphic
+    rng = random.Random(7)
+    shuffled = base[:]
+    rng.shuffle(shuffled)
+    g2 = pairs_graph(shuffled)
+    t0 = time.time()
+    assert isomorphic(g1, g2)
+    assert time.time() - t0 < 5.0  # complete search must stay linear-ish
+    # NOT isomorphic: replace two pairs with a 4-cycle (same node and
+    # edge counts, different structure)
+    g3 = pairs_graph(base[:16]) + [
+        f"_:n16 {p} _:n17 .", f"_:n17 {p} _:n18 .",
+        f"_:n18 {p} _:n19 .", f"_:n19 {p} _:n16 .",
+    ]
+    assert not isomorphic(g1, g3)
+
+
+def test_single_component_symmetric_cycles():
+    """Within ONE component the complete backtracking distinguishes a
+    6-cycle from two 3-cycles and accepts any relabeling of itself."""
+    from morph_kgc_spark.compare import isomorphic
+
+    p = "<http://x.org/p>"
+
+    def cycle(names):
+        return [f"_:{a} {p} _:{b} ."
+                for a, b in zip(names, names[1:] + names[:1])]
+
+    six = cycle([f"a{i}" for i in range(6)])
+    six_relabel = cycle(["q", "w", "e", "r", "t", "y"])
+    two_threes = cycle(["x0", "x1", "x2"]) + cycle(["y0", "y1", "y2"])
+    assert isomorphic(six, six_relabel)
+    assert not isomorphic(six, two_threes)
