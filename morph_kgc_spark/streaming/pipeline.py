@@ -99,6 +99,39 @@ def stream_triples(stream_df: DataFrame, rules: list[M.Rule],
     return out
 
 
+def stream_web_pipeline(pages_stream: DataFrame, aliases: DataFrame,
+                        out_dir: str, checkpoint_dir: str,
+                        available_now: bool = True):
+    """The full web pipeline (extract → detect → link → materialize) over
+    a STREAMING pages source, via ``foreachBatch``.
+
+    Entity linking ranks candidates per (url, alias) with a row_number
+    window — not expressible in a pure streaming plan — but every page's
+    mentions are generated within its own micro-batch and linking never
+    crosses pages, so per-batch linking is EXACTLY the batch semantics.
+    ``foreachBatch`` therefore runs the unmodified batch pipeline
+    (:func:`morph_kgc_spark.pipeline.pages.pipeline_triples`) on each
+    micro-batch and appends to a parquet sink; entity-level triples
+    (entity –label→ alias) can recur across batches, and global set
+    semantics are the sink's MERGE/dedup responsibility — the standard
+    lakehouse pattern, same caveat as :func:`stream_triples`. The
+    batch-owned persist is released per micro-batch.
+    """
+    from morph_kgc_spark.operators.cache import release
+    from morph_kgc_spark.pipeline.pages import pipeline_triples
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        out = pipeline_triples(batch_df.sparkSession, batch_df, aliases)
+        out.write.mode("append").parquet(out_dir)
+        release(out)
+
+    writer = (pages_stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_triple_counts(triples_with_time: DataFrame,
                            time_col: str = "__event_time",
                            window: str = "1 hour",

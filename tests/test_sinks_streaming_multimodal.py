@@ -245,3 +245,36 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     # last_seen + gap. User 1's second session stays open (its timeout,
     # 02:30, is beyond the final watermark 02:00) → not emitted.
     assert got == {(1, 1, 2, 600), (2, 1, 1, 0)}
+
+
+def test_streaming_web_pipeline_e2e(spark, tmp_path):
+    """Round-5 directive #8: synthetic pages → file stream →
+    extract→detect→link→materialize per micro-batch (availableNow),
+    SET-equal to the batch twin over the same pages. maxFilesPerTrigger
+    forces multiple micro-batches so cross-batch behavior is real."""
+    from morph_kgc_spark.operators.cache import release
+    from morph_kgc_spark.pipeline.pages import (
+        alias_dictionary,
+        pipeline_triples,
+        synthetic_pages,
+    )
+    from morph_kgc_spark.streaming.pipeline import stream_web_pipeline
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synthetic_pages(spark, 400, n_entities=16, partitions=4)
+    pages.write.parquet(src)
+    aliases = alias_dictionary(spark, 16)
+
+    stream = (spark.readStream.schema(pages.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_web_pipeline(stream, aliases, out, ckpt)
+    assert q.awaitTermination(180), "streaming pipeline did not finish"
+    assert len(q.recentProgress) > 1, "expected multiple micro-batches"
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = pipeline_triples(spark, spark.read.parquet(src), aliases)
+    want = {tuple(r) for r in batch.collect()}
+    release(batch)
+    assert got == want
