@@ -133,26 +133,33 @@ def canonical_triples(triples: list[list[str]]) -> list[str]:
     # canonicalize each component with LOCAL names _:c0.., then order
     # components by their rendered form and assign disjoint global name
     # ranges in that order — identical components render identically, so
-    # their relative order cannot affect the output
+    # their relative order cannot affect the output. Renaming happens
+    # per TOKEN (lines stay token lists until here): a regex over the
+    # joined line would also rewrite '_:cN'-looking text inside literal
+    # tokens and could equate non-isomorphic graphs.
     rendered = sorted(
         (_canonical_component(trs) for trs in comps.values()),
         key=lambda x: x[0])
     out = list(ground)
     offset = 0
-    for lines, n in rendered:
-        out.extend(
-            re.sub(r"_:c(\d+)",
-                   lambda m: f"_:g{offset + int(m.group(1))}", ln)
-            for ln in lines)
+    for token_lines, n in rendered:
+        for tr in token_lines:
+            out.append(" ".join(
+                f"_:g{offset + int(t[3:])}"
+                if t.startswith("_:c") and t[3:].isdigit() else t
+                for t in tr))
         offset += n
     return sorted(out)
 
 
-def _canonical_component(triples: list[list[str]]) -> tuple[list[str], int]:
-    """Canonical lines (local names ``_:c0..``) for ONE bnode-connected
-    component, plus its bnode count. Complete individualization-
-    refinement: no depth cap, backtracking keeps the lexicographic
-    minimum over every member of the smallest ambiguous class."""
+def _canonical_component(
+        triples: list[list[str]]) -> tuple[list[list[str]], int]:
+    """Canonical TOKEN lines (local names ``_:c0..``) for ONE
+    bnode-connected component, plus its bnode count. Complete
+    individualization-refinement: no depth cap, backtracking keeps the
+    lexicographic minimum over every member of the smallest ambiguous
+    class. Lines stay token LISTS so the caller's global rename can
+    distinguish bnode tokens from literal text."""
     import hashlib
 
     def h(s: str) -> str:
@@ -179,14 +186,15 @@ def _canonical_component(triples: list[list[str]]) -> tuple[list[str], int]:
             colors = nxt
         return colors
 
-    def serialize(colors: dict[str, str]) -> list[str] | None:
-        """Final names by color rank; None if colors are not all distinct."""
+    def serialize(colors: dict[str, str]) -> list[list[str]] | None:
+        """Final names by color rank; None if colors are not all distinct.
+        Token lists, not joined strings (see _canonical_component)."""
         ranked = sorted(set(colors.values()))
         if len(ranked) < len(colors):
             return None
         rank = {c: f"_:c{i}" for i, c in enumerate(ranked)}
-        return sorted(" ".join(rank[colors[t]] if t in colors else t
-                               for t in tr) for tr in triples)
+        return sorted([rank[colors[t]] if t in colors else t
+                       for t in tr] for tr in triples)
 
     def search(colors: dict[str, str]) -> list[str]:
         colors = refine(colors, len(bnodes) + 2)

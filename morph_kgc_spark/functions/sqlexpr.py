@@ -10,7 +10,9 @@ expression tree is identical (same functions, same arguments), so plans,
 codegen, and results are byte-for-byte unchanged. The Column builders in
 :mod:`morph_kgc_spark.functions.encoding` remain the fallback for
 non-SQL-expressible paths (pandas-UDF encoding for non-ASCII safe chars,
-FNML executions) and the Hypothesis equivalence tests pin both forms.
+FNML executions); ``tests/test_sqlexpr_parity.py`` pins the string twins
+against the Column builders AND the pure-Python references with
+Hypothesis over adversarial strings.
 """
 
 from __future__ import annotations

@@ -27,7 +27,6 @@ from morph_kgc_spark.functions.hashing import (
     LSH_BANDS,
     LSH_ROWS,
     N_PERMS,
-    h64,
     h64_spark_sql,
     perm_sql,
 )

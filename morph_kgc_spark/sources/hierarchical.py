@@ -411,10 +411,28 @@ def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
                         f"positional predicate on a descendant step in "
                         f"{iterator!r} is unsupported (parent context "
                         "unknown; elementpath counts per parent)")
+                if i0 > 0 and steps[i0 - 1][0] is None:
+                    raise ValueError(
+                        f"wildcard parent of a positional predicate in "
+                        f"{iterator!r} is unsupported (the parent "
+                        "element cannot be scanned)")
                 if i0 == 0:
-                    # parent is the document root: exactly one root node
-                    df = _descend_steps(_scan(_sniff_root_tag(path)),
-                                        steps)
+                    # the predicated step's parent is the document root
+                    root = _sniff_root_tag(path)
+                    if iterator.lstrip().startswith("/"):
+                        # ABSOLUTE path: /name[n] addresses the root
+                        # element itself — it matches only when the
+                        # root carries that name, and only at position
+                        # 1 (elementpath semantics; a child-descent
+                        # here silently returned the wrong node set)
+                        if name != root or pred[1] != 1:
+                            df = _empty_nodes(_scan(root))
+                        else:
+                            df = _descend_steps(_scan(root),
+                                                steps[1:])
+                    else:
+                        # relative path: steps are children of the root
+                        df = _descend_steps(_scan(root), steps)
                 else:
                     df = _descend_steps(_scan(steps[i0 - 1][0]),
                                         steps[i0:])

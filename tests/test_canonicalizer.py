@@ -155,3 +155,16 @@ def test_single_component_symmetric_cycles():
     two_threes = cycle(["x0", "x1", "x2"]) + cycle(["y0", "y1", "y2"])
     assert isomorphic(six, six_relabel)
     assert not isomorphic(six, two_threes)
+
+
+def test_literal_that_looks_like_local_bnode_name_not_rewritten():
+    """Round-5 self-review: the global rename must only touch bnode
+    TOKENS — a literal whose text is '_:c0' (or '_:g0') must not be
+    rewritten, else non-isomorphic graphs compare equal."""
+    from morph_kgc_spark.compare import isomorphic
+
+    p = "<http://x.org/p>"
+    a = [f'_:x {p} "_:c0" .']
+    b = [f'_:y {p} "_:g0" .']
+    assert not isomorphic(a, b)
+    assert isomorphic(a, [f'_:z {p} "_:c0" .'])

@@ -297,3 +297,38 @@ def test_materialize_from_xml_mapping_with_iterator(spark, tmp_path):
     assert (f"<{ex}student/10>", f"<{ex}hobby>", '"chess"') in out
     assert (f"<{ex}student/20>", f"<{ex}hobby>", '"darts"') in out
     assert len(out) == 5  # 2 city + 3 hobby
+
+
+def test_xml_xpath_root_positional_absolute_semantics(spark, tmp_path):
+    """Round-5 self-review: /name[n] at the top of an ABSOLUTE path
+    addresses the root element itself — it matches only when the root
+    carries that name and only at position 1 (elementpath semantics)."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "book.xml")
+    with open(p, "w") as f:
+        f.write("<book><title>T</title></book>")
+    df = xml_source(spark, p, iterator="/book[1]/title")
+    assert [r["."] for r in df.collect()] == ["T"]
+    # /book[2]: only one root → empty, not an error
+    assert xml_source(spark, p, iterator="/book[2]").count() == 0
+    # absolute /b[1] with a root named 'book' → empty node-set
+    assert xml_source(spark, p, iterator="/b[1]").count() == 0
+    # RELATIVE b[1] evaluates against the root's children
+    p2 = str(tmp_path / "a.xml")
+    with open(p2, "w") as f:
+        f.write("<a><b>one</b><b>two</b></a>")
+    df2 = xml_source(spark, p2, iterator="b[2]")
+    assert [r["."] for r in df2.collect()] == ["two"]
+
+
+def test_xml_xpath_wildcard_parent_of_positional_rejected(spark, tmp_path):
+    """A wildcard parent of a positional step cannot be scanned — loud
+    ValueError, not a cryptic Spark INTERNAL_ERROR (round-5 review)."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "w.xml")
+    with open(p, "w") as f:
+        f.write("<a><x><b><c>1</c></b></x></a>")
+    with pytest.raises(ValueError, match="wildcard"):
+        xml_source(spark, p, iterator="/a/*/b[1]/c")
