@@ -31,6 +31,13 @@ def build_spark(cores: int):
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE parallelismFirst stays at its default (true): this
+        # workload's shuffles are CPU-heavy with SMALL bytes (text
+        # hashing, pair lambdas), and byte-based post-shuffle coalescing
+        # (parallelismFirst=false) serializes them — measured -36% on
+        # the KG headline and -51% on the web pipeline in round 5.
+        # The cost of keeping it: ~0.5 s/stage of near-empty-task
+        # scheduling on the tiniest queries (see BENCH.md minhash note).
         # skip per-DataFrame-op python stack capture (public perf knob;
         # ~3 ms/op of inspect.stack() — pure driver fixed cost)
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
