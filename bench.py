@@ -104,6 +104,8 @@ def main() -> None:
             _docs(spark, sf), "doc_id", "text", max_hamming=6, lazy=True),
         "dedup_ngram_jaccard": lambda spark, sf: D.ngram_jaccard_topk(
             _docs(spark, sf), "doc_id", "text", lazy=True),
+        "dedup_ngram_capped": lambda spark, sf: D.ngram_capped_pairs(
+            _docs(spark, sf), "doc_id", "text", star_cap=3, lazy=True),
     }
 
     for name, fn in qs.items():

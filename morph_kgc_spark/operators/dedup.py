@@ -484,74 +484,28 @@ def ngram_capped_pairs(df: DataFrame, id_col: str, text_col: str,
     the only loss; within the cap, the pair set and its jaccard values
     are byte-identical to the exhaustive plan's.
 
-    Plan — the rare/hot split falls out of the star cap itself:
-
-    - ONE grouping shuffle builds per-shingle postings and emits the
-      capped pairs row-locally (the :func:`_grouped_pairs` lambda,
-      inlined here to tag each pair with its group's starred-ness);
-    - a RARE (non-starred, df ≤ cap) group emits every i<j pair exactly
-      once, so ``sum(non-starred occurrences)`` per pair — the same
-      pair-keyed shuffle a plain candidate-distinct would pay — IS the
-      exact rare-intersection count, no posting re-join at all;
-    - only HOT (starred) shingles need a repair join, against the hot
-      postings alone: cost |candidates| × HOT-shingles-per-doc (a
-      handful), not × all shingles-per-doc (the previous plan's ~80×
-      larger join, measured 3.2 s → ~0.4 s at sf0.1).
+    Plan: ONE grouping shuffle builds per-shingle postings and emits the
+    capped pairs row-locally (:func:`_grouped_pairs`), a pair-distinct
+    collapses multi-shingle duplicates, then the exact jaccard is
+    computed per candidate with two posting joins — cost
+    |candidates| × shingles-per-doc, never all-pairs.
     """
     base = shingle_arrays(df, id_col, text_col, n)
     sh = base.select(F.col(id_col), F.explode_outer("grams").alias("shingle")) \
              .where(F.col("shingle").isNotNull())
     sizes = base.select(F.col(id_col), F.size("grams").alias("sz"))
-
-    grouped = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("items"))
-        .where(F.size("items") >= 2)
+    cand = (
+        _grouped_pairs(sh, ["shingle"], F.col(id_col), bucket_cap=star_cap)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .dropDuplicates()
     )
-    full = F.flatten(F.transform(
-        "items",
-        lambda a, i: F.transform(
-            F.slice("items", i + 2, F.size("items")),
-            lambda b: F.struct(a.alias("a"), b.alias("b")),
-        ),
-    ))
-    star = F.transform(
-        F.slice("items", 2, F.size("items")),
-        lambda b: F.struct(F.element_at("items", 1).alias("a"), b.alias("b")),
-    )
-    starred = F.size("items") > star_cap
-    pairs = (
-        grouped.select(starred.alias("hot"),
-                       F.explode_outer(F.when(starred, star).otherwise(full))
-                       .alias("p"))
-        .where(F.col("p").isNotNull())
-        .where(F.col("p.a") != F.col("p.b"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"),
-                "hot")
-    )
-    # pair-keyed shuffle doubling as candidate-dedup AND exact rare count
-    cand = pairs.groupBy("id_a", "id_b").agg(
-        F.sum(F.when(F.col("hot"), 0).otherwise(1)).alias("rare_n"))
-
-    # hot repair: shared df>cap shingles per candidate (recomputed from
-    # the scan, like every shingle stream here — caching posting lists
-    # is impossible at corpus scale anyway)
-    hot_post = grouped.where(F.size("items") > star_cap) \
-                      .select("shingle", F.explode("items").alias("hid"))
-    hot_a = hot_post.select(F.col("hid").alias("id_a"), "shingle")
-    hot_b = hot_post.select(F.col("hid").alias("id_b"), "shingle")
-    hot_n = (
-        cand.select("id_a", "id_b")
-        .join(hot_a, "id_a")
-        .join(hot_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("hot_n"))
-    )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        cand.join(hot_n, ["id_a", "id_b"], "left")
-        .select("id_a", "id_b",
-                (F.col("rare_n")
-                 + F.coalesce(F.col("hot_n"), F.lit(0))).alias("inter"))
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
