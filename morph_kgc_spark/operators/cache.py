@@ -16,6 +16,8 @@ processing OOMs), and its blocks are addressable for explicit release.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -30,9 +32,80 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
 # returns a fresh Python wrapper (dropping any attribute), but its
 # analyzed tree still CONTAINS the persisted intermediate's subtree, and
 # semanticHash is exprId-normalized so the subtree is findable from any
-# derivative. Strong refs are fine: the entries die exactly when
-# released, and an unreleased persist would pin its blocks anyway.
-_OWNED_BY_HASH: dict[int, list[DataFrame]] = {}
+# derivative. Each list entry is ONE ownership instance (one own() call
+# recorded one dep); releasing a derivative frees one instance per
+# matching hash — refcount semantics, so a concurrent identical operator
+# run keeps its own instance alive (round-6 advice, cache.py:441).
+#
+# Entries are WEAK references: an ownership instance lives exactly as
+# long as its dep wrapper is strongly reachable (normally via the owning
+# result's _mkgc_owned attribute), so a lazy result the caller drops
+# without release() stops pinning driver memory the moment Python frees
+# it — the registry self-bounds over a long session (round-6 directive
+# #5). A liveness probe (`storageLevel`) cannot do this job: the cache
+# manager is PLAN-keyed, so a stale wrapper is indistinguishable from a
+# live identical persist. _sweep() prunes dead refs and also refs whose
+# cache entry is entirely gone (e.g. spark.catalog.clearCache() while
+# the wrappers are still referenced).
+_OWNED_BY_HASH: dict[int, list] = {}  # hash -> list[weakref.ref[DataFrame]]
+
+
+def _cache_entry_live(dep: DataFrame) -> bool:
+    """True while the cache manager still holds an entry for ``dep``'s
+    PLAN (persisted lazily counts; dropped via unpersist/clearCache does
+    not). Plan-keyed: any semantically identical live persist counts.
+    Errors (dead session) count as gone."""
+    try:
+        lvl = dep.storageLevel
+        return bool(lvl.useMemory or lvl.useDisk)
+    except Exception:
+        return False
+
+
+def _sweep() -> None:
+    """Prune ownership instances whose wrapper was garbage-collected or
+    whose plan no longer has any cache entry at all."""
+    for h in list(_OWNED_BY_HASH):
+        bucket = [r for r in _OWNED_BY_HASH[h]
+                  if r() is not None and _cache_entry_live(r())]
+        if bucket:
+            _OWNED_BY_HASH[h] = bucket
+        else:
+            _OWNED_BY_HASH.pop(h, None)
+
+
+def _release_instance(dep: DataFrame) -> None:
+    """Drop ONE ownership instance of ``dep``; unpersist only when it
+    was the LAST registered instance for its plan hash.
+
+    Spark's cache manager is PLAN-keyed: two semantically identical
+    persisted frames share one cache entry, so ``dep.unpersist()`` from
+    either wrapper drops the blocks for both. Refcounting therefore has
+    to gate the actual unpersist on the bucket emptying — releasing one
+    of two concurrent identical runs must NOT force the other to
+    recompute (round-6 advice, cache.py:441).
+    """
+    try:
+        h = int(dep._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        try:
+            dep.unpersist()
+        except Exception:
+            pass
+        return
+    bucket = [r for r in _OWNED_BY_HASH.get(h, []) if r() is not None]
+    if any(r() is dep for r in bucket):
+        bucket = [r for r in bucket if r() is not dep]
+    elif bucket:
+        bucket = bucket[:-1]  # derivative path: drop any one instance
+    if bucket:
+        _OWNED_BY_HASH[h] = bucket
+        return  # another live ownership still needs the shared blocks
+    _OWNED_BY_HASH.pop(h, None)
+    try:
+        dep.unpersist()
+    except Exception:
+        pass
 
 
 def _plan_semantic_hashes(df: DataFrame) -> set[int]:
@@ -66,21 +139,26 @@ def own(result: DataFrame, intermediates: list[DataFrame]) -> DataFrame:
     DERIVATIVE (``release(result.where(...))``) finds the intermediate's
     subtree in the derivative's analyzed plan by semanticHash and frees
     it (round-4 advice: the wrapper attribute alone was lost on any
-    select/where). Two logically IDENTICAL plans share a semanticHash;
-    releasing one frees owned intermediates of both — acceptable,
-    because identical owned plans hold identical (re-computable) caches.
+    select/where). Two logically IDENTICAL plans share a semanticHash
+    and therefore a registry bucket; each ownership is one bucket entry
+    and a derivative release frees ONE entry per matching hash, so a
+    concurrent identical run's instance stays registered. (Identical
+    plans also share cache-manager blocks, so which instance's wrapper
+    gets unpersisted is immaterial — block refcounting is what the
+    bucket models. Release each owned result at most once.)
     """
     owned = list(getattr(result, "_mkgc_owned", ()))
     for dep in intermediates:
         owned.extend(getattr(dep, "_mkgc_owned", ()))
         owned.append(dep)
     result._mkgc_owned = owned
+    _sweep()
     for dep in owned:
         try:
             h = int(dep._jdf.queryExecution().analyzed().semanticHash())
             bucket = _OWNED_BY_HASH.setdefault(h, [])
-            if not any(d is dep for d in bucket):
-                bucket.append(dep)
+            if not any(r() is dep for r in bucket):
+                bucket.append(weakref.ref(dep))
         except Exception:
             pass
     return result
@@ -96,41 +174,25 @@ def release(df: DataFrame) -> None:
     handles here are stable internals — same class of access as the
     session's own ``_jsc`` — and the hygiene test pins the behavior.)
     """
-    released: list[DataFrame] = []
+    has_attr = hasattr(df, "_mkgc_owned")
     for dep in getattr(df, "_mkgc_owned", ()):
-        try:
-            dep.unpersist()
-            released.append(dep)
-        except Exception:
-            pass
-    if hasattr(df, "_mkgc_owned"):
+        _release_instance(dep)
+    if has_attr:
         df._mkgc_owned = []
-    # registry pass: free owned intermediates whose subtree appears in
-    # THIS frame's plan — works on derivatives of the owning frame too
-    try:
-        in_plan = _plan_semantic_hashes(df)
-        for h in list(_OWNED_BY_HASH):
-            if h in in_plan:
-                for dep in _OWNED_BY_HASH.pop(h):
-                    try:
-                        dep.unpersist()
-                    except Exception:
-                        pass
-    except Exception:
-        pass
-    # purge wrapper-released deps from the registry so entries (and
-    # their python wrappers) do not accumulate over a long session
-    for dep in released:
+    if not has_attr:
+        # derivative (fresh wrapper, attribute lost): drop ONE ownership
+        # instance per owned subtree found in THIS frame's plan.
         try:
-            h = int(dep._jdf.queryExecution().analyzed().semanticHash())
-            bucket = [d for d in _OWNED_BY_HASH.get(h, ())
-                      if d is not dep]
-            if bucket:
-                _OWNED_BY_HASH[h] = bucket
-            else:
-                _OWNED_BY_HASH.pop(h, None)
+            in_plan = _plan_semantic_hashes(df)
+            for h in list(_OWNED_BY_HASH):
+                if h in in_plan:
+                    live = [r() for r in _OWNED_BY_HASH[h]
+                            if r() is not None]
+                    if live:
+                        _release_instance(live[-1])
         except Exception:
             pass
+    _sweep()
     try:
         plan = df._jdf.queryExecution().analyzed()
         if not plan.getClass().getName().endswith(".LogicalRDD"):

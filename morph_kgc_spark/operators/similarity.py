@@ -20,6 +20,8 @@ F.aggregate) so the DuckDB oracle reproduces identical doubles.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -104,6 +106,22 @@ def _double_lit(x: float) -> str:
     return repr(float(x)) + "D"
 
 
+def _check_finite(vec: list[float], vec_id) -> list[float]:
+    """Reject NaN/Inf coordinates up front with the offending id.
+
+    A non-finite seed would otherwise render as ``nanD``/``infD`` inside
+    the centroid literal and fail Spark SQL *parsing* with an error far
+    from the actual cause (round-6 advice, operators/similarity.py:101).
+    """
+    for i, x in enumerate(vec):
+        if math.isnan(x) or math.isinf(x):
+            raise ValueError(
+                f"kmeans_train: vector id={vec_id!r} has a non-finite "
+                f"coordinate at position {i} ({x!r}); clean the corpus "
+                "(drop or impute non-finite embeddings) before training")
+    return vec
+
+
 def _with_cell(vdf: DataFrame, cents: list[list[float]]) -> DataFrame:
     """Assign each row's ``v`` to its nearest centroid → ``cell`` column.
 
@@ -154,7 +172,7 @@ def kmeans_train(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"))
     seeds = v.orderBy("id").limit(k).collect()
-    cents = [list(r.v) for r in seeds]
+    cents = [_check_finite(list(r.v), r.id) for r in seeds]
     for _ in range(iters - 1):
         agg = (_with_cell(v, cents)
                .select("cell", F.posexplode(F.expr(

@@ -222,6 +222,22 @@ def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def invalidate_parquet_schema_cache(path: str | None = None) -> None:
+    """Drop the pinned schema for *path* (or ALL paths when ``None``).
+
+    The cache pins the first-seen schema per path for the process
+    lifetime; if files under a path are rewritten with an EVOLVED schema
+    (added/renamed columns), later reads would silently use the stale
+    schema — columns come back missing/null instead of erroring.  Call
+    this after any in-place schema-changing rewrite (round-6 advice,
+    sources/registry.py:870).  Also documented in README §limitations.
+    """
+    if path is None:
+        _PARQUET_SCHEMAS.clear()
+    else:
+        _PARQUET_SCHEMAS.pop(path, None)
+
+
 def _sniff_csv_delimiter(path: str) -> str | None:
     """Detect non-comma delimiters from the file head (reference
     data_file.py:63-88 sniffs on parse failure — issue #81: ';' CSVs).

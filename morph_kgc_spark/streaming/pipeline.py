@@ -101,7 +101,8 @@ def stream_triples(stream_df: DataFrame, rules: list[M.Rule],
 
 def stream_web_pipeline(pages_stream: DataFrame, aliases: DataFrame,
                         out_dir: str, checkpoint_dir: str,
-                        available_now: bool = True):
+                        available_now: bool = True,
+                        idempotent: bool = True):
     """The full web pipeline (extract → detect → link → materialize) over
     a STREAMING pages source, via ``foreachBatch``.
 
@@ -111,18 +112,32 @@ def stream_web_pipeline(pages_stream: DataFrame, aliases: DataFrame,
     crosses pages, so per-batch linking is EXACTLY the batch semantics.
     ``foreachBatch`` therefore runs the unmodified batch pipeline
     (:func:`morph_kgc_spark.pipeline.pages.pipeline_triples`) on each
-    micro-batch and appends to a parquet sink; entity-level triples
-    (entity –label→ alias) can recur across batches, and global set
-    semantics are the sink's MERGE/dedup responsibility — the standard
-    lakehouse pattern, same caveat as :func:`stream_triples`. The
-    batch-owned persist is released per micro-batch.
+    micro-batch; entity-level triples (entity –label→ alias) can recur
+    across batches, and global set semantics are the sink's MERGE/dedup
+    responsibility — the standard lakehouse pattern, same caveat as
+    :func:`stream_triples`. The batch-owned persist is released per
+    micro-batch.
+
+    **Delivery semantics** (round-6 advice, streaming/pipeline.py:99):
+    ``foreachBatch`` is at-least-once — a micro-batch retried after a
+    partial write would duplicate rows under a plain ``append``. With
+    ``idempotent=True`` (default) each batch instead OVERWRITES its own
+    deterministic partition ``{out_dir}/batch_id=<id>/`` — a retry of
+    batch N replaces batch N's partial output, never duplicates it, and
+    ``spark.read.parquet(out_dir)`` sees one extra hive-style
+    ``batch_id`` partition column. Set ``idempotent=False`` for a flat
+    append sink when a downstream MERGE handles dedup.
     """
     from morph_kgc_spark.operators.cache import release
     from morph_kgc_spark.pipeline.pages import pipeline_triples
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = pipeline_triples(batch_df.sparkSession, batch_df, aliases)
-        out.write.mode("append").parquet(out_dir)
+        if idempotent:
+            out.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}")
+        else:
+            out.write.mode("append").parquet(out_dir)
         release(out)
 
     writer = (pages_stream.writeStream.foreachBatch(_process)

@@ -147,3 +147,60 @@ def test_release_of_filtered_pipeline_output_is_clean(spark):
     release(derived)
     assert persistent_rdd_ids(spark) - before == set(), \
         "release(filtered pipeline output) must leave the session clean"
+
+
+def test_release_scoped_per_ownership_instance(spark):
+    """Round-6 advice (cache.py:441): two concurrent identical lazy runs
+    share one plan-keyed cache entry; releasing ONE of them must not
+    drop the blocks the other still needs. The registry refcounts
+    ownership instances and defers the real unpersist to the last."""
+    before = persistent_rdd_ids(spark)
+    docs = _docs(spark)
+    a = D.ngram_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=3,
+                             lazy=True)
+    b = D.ngram_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=3,
+                             lazy=True)
+    a.count()
+    release(a)
+    assert persistent_rdd_ids(spark) - before, \
+        "release(a) must not drop blocks still owned by b"
+    b.count()
+    release(b)
+    assert persistent_rdd_ids(spark) - before == set(), \
+        "releasing the last owner must actually free the blocks"
+
+
+def test_registry_self_bounds_after_clear_cache(spark):
+    """Round-6 directive #5: N lazy results created and never released
+    accumulate registry entries; once their blocks are gone (here via
+    spark.catalog.clearCache()) the next own()/release() sweep drops the
+    dead entries instead of pinning the wrappers forever."""
+    import gc
+
+    from morph_kgc_spark.operators import cache as C
+
+    docs = _docs(spark)
+    kept = [D.ngram_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=3,
+                                 lazy=True)
+            for _ in range(3)]  # never released, still referenced
+    assert sum(len(v) for v in C._OWNED_BY_HASH.values()) >= 3
+    spark.catalog.clearCache()
+    # the next own() (a DIFFERENT plan — n=4 grams, so its persist
+    # cannot resurrect the plan-keyed cache entry first) sweeps the
+    # block-less entries
+    out = D.ngram_jaccard_topk(docs, "doc_id", "text", n=4, k=5,
+                               df_cap=3, lazy=True)
+    live = sum(len(v) for v in C._OWNED_BY_HASH.values())
+    assert live <= len(out._mkgc_owned), \
+        f"registry must self-bound after blocks are dropped, got {live}"
+    release(out)
+
+    # weakref path: results DROPPED without release() stop pinning the
+    # registry as soon as Python frees their wrappers
+    again = D.ngram_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=3,
+                                 lazy=True)
+    del kept, again
+    gc.collect()
+    C._sweep()
+    assert sum(len(v) for v in C._OWNED_BY_HASH.values()) == 0
+    spark.catalog.clearCache()  # drop `again`'s (documented) block leak

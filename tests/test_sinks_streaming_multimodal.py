@@ -273,8 +273,23 @@ def test_streaming_web_pipeline_e2e(spark, tmp_path):
     assert q.awaitTermination(180), "streaming pipeline did not finish"
     assert len(q.recentProgress) > 1, "expected multiple micro-batches"
 
-    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    sink = spark.read.parquet(out)
+    # idempotent mode partitions the sink by micro-batch id: a retried
+    # batch overwrites its own partition instead of duplicating rows
+    assert "batch_id" in sink.columns
+    assert sink.select("batch_id").distinct().count() > 1
+    got = {tuple(r) for r in
+           sink.select("subject", "predicate", "object").collect()}
     batch = pipeline_triples(spark, spark.read.parquet(src), aliases)
     want = {tuple(r) for r in batch.collect()}
     release(batch)
     assert got == want
+
+    # replaying batch 0's write (the at-least-once retry scenario) must
+    # leave the sink unchanged — overwrite, not append
+    n_before = sink.count()
+    b0 = spark.read.parquet(f"{out}/batch_id=0")
+    b0_rows = b0.collect()
+    spark.createDataFrame(b0_rows, b0.schema).write.mode("overwrite") \
+        .parquet(f"{out}/batch_id=0")
+    assert spark.read.parquet(out).count() == n_before
