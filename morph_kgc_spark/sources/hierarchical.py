@@ -116,10 +116,14 @@ def json_source(spark: SparkSession, path: str, iterator: str = "$.*",
 # an XPath iterator step: a plain element name (no predicates/functions)
 _XPATH_STEP_RE = re.compile(r"^[A-Za-z_][\w.:-]*$")  # ':' = XML namespaces
 
-# per-step predicate subset: [@attr='v'] / [@attr="v"] / [n]
+# per-step predicate subset: [@attr='v'] / [text()='v'] /
+# [contains(@attr,'v')] / [n] (single or double quotes throughout)
 _XPATH_PRED_RE = re.compile(
     r"^(?P<name>[A-Za-z_][\w.:-]*)\[(?:"
     r"@(?P<attr>[\w.:-]+)\s*=\s*(?P<q>['\"])(?P<val>[^'\"]*)(?P=q)"
+    r"|text\(\)\s*=\s*(?P<tq>['\"])(?P<tval>[^'\"]*)(?P=tq)"
+    r"|contains\(\s*@(?P<cattr>[\w.:-]+)\s*,\s*"
+    r"(?P<cq>['\"])(?P<cval>[^'\"]*)(?P=cq)\s*\)"
     r"|(?P<pos>[1-9]\d*)"
     r")\]$")
 
@@ -127,14 +131,17 @@ _XPATH_PRED_RE = re.compile(
 def _parse_xpath(iterator: str) -> list[tuple]:
     """Parse an XPath iterator into ``[(name, pred, descendant)]`` steps.
 
-    ``pred`` is ``None``, ``("attr", name, value)`` or ``("pos", n)``
-    — the supported predicate subset, now allowed on ANY step
-    (reference evaluates full XPath 3.0 via elementpath,
+    ``pred`` is ``None``, ``("attr", name, value)``,
+    ``("text", value)`` (``[text()='v']``),
+    ``("attr_contains", name, value)`` (``[contains(@attr,'v')]``) or
+    ``("pos", n)`` — the supported predicate subset, allowed on ANY
+    step (reference evaluates full XPath 3.0 via elementpath,
     data_file.py:188-253; this chain matches it on
-    ``/a[@x='1']/b[2]/c`` shapes). ``descendant`` marks a step preceded
-    by ``//`` (its parent is unknown). ``name`` is ``None`` for a ``*``
-    wildcard step; ``.`` self steps are dropped (they do not move the
-    context). Functions, axes, and other predicate forms raise.
+    ``/a[@x='1']/b[text()='y']/c[2]`` shapes). ``descendant`` marks a
+    step preceded by ``//`` (its parent is unknown). ``name`` is
+    ``None`` for a ``*`` wildcard step; ``.`` self steps are dropped
+    (they do not move the context). Other functions, axes, and
+    multi-clause predicate forms raise.
     """
     steps: list[tuple] = []
     toks = iterator.strip().split("/")
@@ -155,9 +162,15 @@ def _parse_xpath(iterator: str) -> list[tuple]:
             if not m:
                 raise ValueError(
                     f"unsupported XPath step {s!r} in iterator {iterator!r} "
-                    "(only [@attr='v'] and [n] predicates are supported)")
+                    "(only [@attr='v'], [text()='v'], "
+                    "[contains(@attr,'v')] and [n] predicates are "
+                    "supported)")
             if m.group("attr") is not None:
                 pred = ("attr", m.group("attr"), m.group("val"))
+            elif m.group("tq") is not None:
+                pred = ("text", m.group("tval"))
+            elif m.group("cattr") is not None:
+                pred = ("attr_contains", m.group("cattr"), m.group("cval"))
             else:
                 pred = ("pos", int(m.group("pos")))
             steps.append((m.group("name"), pred, desc))
@@ -273,6 +286,39 @@ def _empty_nodes(df: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("_VALUE"))
 
 
+def _elem_pred(elem_dt, pred):
+    """Per-element boolean Column builder for VALUE predicates
+    (``attr`` / ``attr_contains`` / ``text``), or ``None`` when the
+    predicate can never match under this element type (absent attribute
+    / childless text — elementpath's empty-sequence comparison is
+    false, so the caller returns the empty node-set).
+
+    ``text()`` addresses the element's own text: the ``_VALUE`` struct
+    field when the element also has attributes/children, else the
+    primitive value itself (how the scan types a text-only element).
+    """
+    from pyspark.sql.types import StructType as _St
+
+    if pred[0] in ("attr", "attr_contains"):
+        attr_f = "_" + pred[1]
+        if not (isinstance(elem_dt, _St) and attr_f in elem_dt.fieldNames()):
+            return None
+        if pred[0] == "attr":
+            return lambda e: e[attr_f].cast("string") == F.lit(pred[2])
+        return lambda e: F.contains(e[attr_f].cast("string"),
+                                    F.lit(pred[2]))
+    if pred[0] == "text":
+        if isinstance(elem_dt, _St):
+            if "_VALUE" not in elem_dt.fieldNames():
+                return None
+            return lambda e: e["_VALUE"].cast("string") == F.lit(pred[1])
+        return lambda e: e.cast("string") == F.lit(pred[1])
+    return None
+
+
+_VALUE_PREDS = ("attr", "attr_contains", "text")
+
+
 def _descend_steps(df: DataFrame, steps: list[tuple]) -> DataFrame:
     """Navigate scan rows down a chain of child steps with predicates.
 
@@ -315,14 +361,12 @@ def _descend_steps(df: DataFrame, steps: list[tuple]) -> DataFrame:
                 cur = (cur.select(F.try_element_at(col, F.lit(pred[1]))
                                   .alias("__n"))
                        .where(F.col("__n").isNotNull()))
-            elif pred is not None and pred[0] == "attr":
-                attr_f = "_" + pred[1]
-                if not (isinstance(elem, _St)
-                        and attr_f in elem.fieldNames()):
+            elif pred is not None and pred[0] in _VALUE_PREDS:
+                fn = _elem_pred(elem, pred)
+                if fn is None:
                     return _empty_nodes(cur)
-                matches = F.filter(
-                    col, lambda e: e[attr_f].cast("string") == F.lit(pred[2]))
-                cur = (cur.select(F.explode_outer(matches).alias("__n"))
+                cur = (cur.select(F.explode_outer(F.filter(col, fn))
+                                  .alias("__n"))
                        .where(F.col("__n").isNotNull()))
             else:
                 cur = (cur.select(F.explode_outer(col).alias("__n"))
@@ -333,12 +377,11 @@ def _descend_steps(df: DataFrame, steps: list[tuple]) -> DataFrame:
                 return _empty_nodes(cur)
             cur = cur.select(col.alias("__n")) \
                      .where(F.col("__n").isNotNull())
-            if pred is not None and pred[0] == "attr":
-                attr_f = "_" + pred[1]
-                if not (isinstance(dt, _St) and attr_f in dt.fieldNames()):
+            if pred is not None and pred[0] in _VALUE_PREDS:
+                fn = _elem_pred(dt, pred)
+                if fn is None:
                     return _empty_nodes(cur)
-                cur = cur.where(
-                    F.col("__n")[attr_f].cast("string") == F.lit(pred[2]))
+                cur = cur.where(fn(F.col("__n")))
         in_node = True
     if not in_node:
         return df
@@ -351,11 +394,21 @@ def _descend_steps(df: DataFrame, steps: list[tuple]) -> DataFrame:
 
 
 def _attr_row_filter(df: DataFrame, pred) -> DataFrame:
-    """``[@attr='v']`` on the scan's own row element: the scan exposes
-    the attribute as ``_attr``; an absent attribute never matches."""
+    """Value predicate on the scan's own row element: the scan exposes
+    attributes as ``_attr`` columns and the element's own text as
+    ``_VALUE`` (or as the whole primitive row for text-only elements);
+    an absent attribute / text never matches (elementpath)."""
+    if pred[0] == "text":
+        if "_VALUE" not in df.columns:
+            return df.where(F.lit(False))
+        return df.where(
+            F.col("`_VALUE`").cast("string") == F.lit(pred[1]))
     col = "_" + pred[1]
     if col not in df.columns:
         return df.where(F.lit(False))
+    if pred[0] == "attr_contains":
+        return df.where(
+            F.contains(F.col(f"`{col}`").cast("string"), F.lit(pred[2])))
     return df.where(F.col(f"`{col}`").cast("string") == F.lit(pred[2]))
 
 
@@ -366,11 +419,13 @@ def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
     derives the rowTag; references then address flattened columns:
     ``name``, ``@id``, ``address/city``, ``route/stop/@id``.
 
-    Predicates ``[@attr='v']`` / ``[n]`` are supported on ANY step
-    (``/a[@x='1']/b[2]/c``): the scan's rowTag is the first predicated
-    step (its parent for positional predicates — XPath counts within
-    the parent context) and the remaining steps navigate the typed row
-    struct per row (:func:`_descend_steps`), fully distributed.
+    Predicates ``[@attr='v']`` / ``[text()='v']`` /
+    ``[contains(@attr,'v')]`` / ``[n]`` are supported on ANY step
+    (``/a[@x='1']/b[text()='y']/c[2]``): the scan's rowTag is the first
+    predicated step (its parent for positional predicates — XPath
+    counts within the parent context) and the remaining steps navigate
+    the typed row struct per row (:func:`_descend_steps`), fully
+    distributed.
     Parentless positional predicates (``//book[2]``) are rejected
     loudly: without the parent element the per-parent semantics cannot
     be reproduced (round-4 advice — a global document-order row_number
@@ -401,8 +456,9 @@ def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
         else:
             i0 = pred_idx[0]
             name, pred, desc = steps[i0]
-            if pred[0] == "attr":
-                # scan AT the predicated element, filter its own attr
+            if pred[0] in _VALUE_PREDS:
+                # scan AT the predicated element, filter its own
+                # attribute / text per row
                 df = _descend_steps(_attr_row_filter(_scan(name), pred),
                                     steps[i0 + 1:])
             else:  # positional: scan the PARENT, pick n-th child per row

@@ -252,6 +252,101 @@ def test_xml_xpath_parentless_positional_rejected(spark, tmp_path):
     assert [r["."] for r in df.collect()] == ["B"]
 
 
+def test_xml_xpath_text_predicate(spark, tmp_path):
+    """[text()='v'] on chain steps (round-6 directive #4; reference
+    evaluates it via elementpath, data_file.py:188-253): matches the
+    element whose own text equals the literal, per parent."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "lib.xml")
+    with open(p, "w") as f:
+        f.write("<library>"
+                "<shelf loc=\"north\"><book>one</book><book>two</book>"
+                "</shelf>"
+                "<shelf loc=\"south\"><book>two</book><book>three</book>"
+                "</shelf>"
+                "</library>")
+    # text predicate on the LAST step of a chain
+    df = xml_source(spark, p, iterator="/library/shelf/book[text()='two']")
+    assert sorted(r["."] for r in df.collect()) == ["two", "two"]
+    # chained with an attribute predicate upstream
+    df2 = xml_source(
+        spark, p,
+        iterator="/library/shelf[@loc='south']/book[text()='two']")
+    assert [r["."] for r in df2.collect()] == ["two"]
+    # no element carries that text → empty node-set, not an error
+    df3 = xml_source(spark, p, iterator="/library/shelf/book[text()='zzz']")
+    assert df3.count() == 0
+
+
+def test_xml_xpath_text_predicate_midchain(spark, tmp_path):
+    """/shelf/book[text()='x']/title shape (the verdict's example):
+    text() selects among MIXED-content elements mid-chain, and the
+    descent continues into their typed children."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "shop.xml")
+    with open(p, "w") as f:
+        f.write("<shop>"
+                "<shelf>"
+                "<book>x<title>T1</title></book>"
+                "<book>y<title>T2</title></book>"
+                "<book>x<title>T3</title></book>"
+                "</shelf>"
+                "</shop>")
+    df = xml_source(spark, p,
+                    iterator="/shop/shelf/book[text()='x']/title")
+    assert sorted(r["."] for r in df.collect()) == ["T1", "T3"]
+    # an element with children but NO text: text() is the empty
+    # sequence — comparison false for every literal
+    p2 = str(tmp_path / "no_text.xml")
+    with open(p2, "w") as f:
+        f.write("<shop><shelf><book><title>T</title></book></shelf></shop>")
+    df2 = xml_source(spark, p2,
+                     iterator="/shop/shelf/book[text()='x']/title")
+    assert df2.count() == 0
+
+
+def test_xml_xpath_contains_predicate(spark, tmp_path):
+    """[contains(@attr,'v')] — substring match on an attribute, absent
+    attribute never matches (elementpath semantics)."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "books.xml")
+    with open(p, "w") as f:
+        f.write("<books>"
+                "<book lang=\"en-US\"><title>A</title></book>"
+                "<book lang=\"en-GB\"><title>B</title></book>"
+                "<book lang=\"nl\"><title>C</title></book>"
+                "<book><title>D</title></book>"
+                "</books>")
+    df = xml_source(spark, p,
+                    iterator="/books/book[contains(@lang,'en')]/title")
+    assert sorted(r["."] for r in df.collect()) == ["A", "B"]
+    # contains on a scan-level (first) predicated step
+    df2 = xml_source(spark, p,
+                     iterator="/books/book[contains(@lang,'n')]")
+    assert sorted(r["title"] for r in df2.collect()) == ["A", "B", "C"]
+    # absent attribute → no match, no error
+    df3 = xml_source(spark, p,
+                     iterator="/books/book[contains(@missing,'x')]/title")
+    assert df3.count() == 0
+
+
+def test_xml_xpath_other_functions_still_rejected():
+    """Only the documented subset parses; other functions stay loud."""
+    from morph_kgc_spark.sources.hierarchical import xpath_row_tag
+
+    assert xpath_row_tag("/a/b[text()='v']/c") == "c"
+    assert xpath_row_tag("/a/b[contains(@x,'v')]") == "b"
+    with pytest.raises(ValueError, match="predicate"):
+        xpath_row_tag("/a/b[starts-with(@x,'v')]")
+    with pytest.raises(ValueError, match="predicate"):
+        xpath_row_tag("/a/b[contains(text(),'v')]")
+    with pytest.raises(ValueError, match="predicate"):
+        xpath_row_tag("/a/b[not(@x='v')]")
+
+
 def test_xml_xpath_missing_child_yields_empty_nodeset(spark, tmp_path):
     """A chain step matching nothing → ZERO rows with a usable schema
     (elementpath's empty sequence), not a zero-column analysis crash
