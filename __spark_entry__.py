@@ -439,6 +439,15 @@ def q_ann_kmeans_cells(spark, sf_dir):
     return S.kmeans_cells(emb, "vec_id", "embedding", k=8, iters=2)
 
 
+def q_ann_kmeans_cells_fp(spark, sf_dir):
+    """K-means with deterministic FARTHEST-POINT seeding (round-6
+    directive #6): spread seeds regardless of id order, argmax + min-id
+    tie-break so the DuckDB oracle replays the selection exactly."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.kmeans_cells(emb, "vec_id", "embedding", k=8, iters=2,
+                          init="farthest")
+
+
 def q_ann_ivf_kmeans_topk(spark, sf_dir):
     """IVF ANN over TRAINED cells (no precomputed label): kmeans_train
     driver-side, zero-shuffle assignment, then the two-stage probe."""
@@ -712,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fnml_composed": q_kg_fnml_composed,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_kmeans_cells": q_ann_kmeans_cells,
+        "ann_kmeans_cells_fp": q_ann_kmeans_cells_fp,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_exact": q_dedup_exact,
@@ -760,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_fnml_composed": oracles.kg_fnml_composed(),
         "ann_ivf_topk": oracles.ann_ivf_topk(),
         "ann_kmeans_cells": oracles.ann_kmeans_cells(),
+        "ann_kmeans_cells_fp": oracles.ann_kmeans_cells(init="farthest"),
         "ann_ivf_kmeans_topk": oracles.ann_ivf_kmeans_topk(),
         "ann_lsh_topk": oracles.ann_lsh_topk(),
         "dedup_exact": oracles.dedup_exact(),

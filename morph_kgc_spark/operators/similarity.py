@@ -122,6 +122,17 @@ def _check_finite(vec: list[float], vec_id) -> list[float]:
     return vec
 
 
+def _dist_array_sql(cents: list[list[float]]) -> str:
+    """SQL for the per-row array of squared-L2 distances from column
+    ``v`` to each centroid (literal-embedded; evaluates in coordinate
+    order so the DuckDB oracle reproduces identical doubles)."""
+    return "array(%s)" % ", ".join(
+        "aggregate(zip_with(v, array(%s), (x, c) -> (x - c) * (x - c)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+        % ", ".join(_double_lit(x) for x in c)
+        for c in cents)
+
+
 def _with_cell(vdf: DataFrame, cents: list[list[float]]) -> DataFrame:
     """Assign each row's ``v`` to its nearest centroid → ``cell`` column.
 
@@ -133,25 +144,52 @@ def _with_cell(vdf: DataFrame, cents: list[list[float]]) -> DataFrame:
     distance array is materialized in its own projection to avoid
     duplicating k·dim literals into the argmin expression.
     """
-    dists = ", ".join(
-        "aggregate(zip_with(v, array(%s), (x, c) -> (x - c) * (x - c)), "
-        "cast(0.0 as double), (acc, x) -> acc + x)"
-        % ", ".join(_double_lit(x) for x in c)
-        for c in cents)
-    return (vdf.withColumn("__d", F.expr(f"array({dists})"))
+    return (vdf.withColumn("__d", F.expr(_dist_array_sql(cents)))
             .withColumn("cell", F.expr(
                 "CAST(array_position(__d, array_min(__d)) - 1 AS INT)"))
             .drop("__d"))
 
 
+def _farthest_point_seeds(v: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic farthest-point (k-means++-style, argmax instead of
+    sampling) seed selection: start from the min-id vector, then k-1
+    times pick the vector maximizing the MIN squared-L2 distance to the
+    seeds chosen so far, ties to the lowest id. No RNG — every engine
+    and restart picks the same seeds, so the DuckDB oracle replays it.
+
+    One job per seed (a TakeOrderedAndProject collecting ONE row; the
+    min-distance is a zero-shuffle literal-centroid projection, same
+    shape as :func:`_with_cell`) — k-1 corpus scans total, the standard
+    farthest-point cost; the corpus is never collected.
+    """
+    first = v.orderBy("id").limit(1).collect()
+    if not first:
+        raise ValueError("kmeans_train: empty corpus")
+    cents = [_check_finite(list(first[0].v), first[0].id)]
+    for _ in range(k - 1):
+        row = (v.withColumn(
+                   "__d", F.expr(f"array_min({_dist_array_sql(cents)})"))
+               .orderBy(F.col("__d").desc(), F.col("id"))
+               .limit(1).collect()[0])
+        cents.append(_check_finite(list(row.v), row.id))
+    return cents
+
+
 def kmeans_train(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
-                 iters: int = 2) -> list[list[float]]:
+                 iters: int = 2,
+                 init: str = "min_id") -> list[list[float]]:
     """Deterministic Lloyd's k-means → driver-side centroid list.
 
     Spark-native and replayable by the DuckDB oracle bit-for-bit:
 
-    - **init**: the vectors of the ``k`` smallest ids (min-id seeds — no
-      RNG, so every engine and every restart trains the same model);
+    - **init**: ``"min_id"`` (default) seeds with the vectors of the
+      ``k`` smallest ids — one job, but degenerate when the lowest-id
+      vectors are near-duplicates; ``"farthest"`` seeds with
+      deterministic farthest-point selection
+      (:func:`_farthest_point_seeds`) — k-1 extra single-row jobs,
+      spread seeds regardless of id order (round-6 directive #6).
+      Neither uses RNG, so every engine and every restart trains the
+      same model;
     - **assign**: nearest centroid by squared L2 in coordinate order,
       ties to the lowest cell (:func:`_with_cell`) — zero shuffle;
     - **update**: per-cell means in SCALED-INTEGER space: coordinates
@@ -171,8 +209,14 @@ def kmeans_train(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
     v = _parallelize_narrow(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"))
-    seeds = v.orderBy("id").limit(k).collect()
-    cents = [_check_finite(list(r.v), r.id) for r in seeds]
+    if init == "farthest":
+        cents = _farthest_point_seeds(v, k)
+    elif init == "min_id":
+        seeds = v.orderBy("id").limit(k).collect()
+        cents = [_check_finite(list(r.v), r.id) for r in seeds]
+    else:
+        raise ValueError(f"unknown kmeans init {init!r} "
+                         "(supported: 'min_id', 'farthest')")
     for _ in range(iters - 1):
         agg = (_with_cell(v, cents)
                .select("cell", F.posexplode(F.expr(
@@ -189,7 +233,7 @@ def kmeans_train(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
 
 
 def kmeans_cells(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
-                 iters: int = 2) -> DataFrame:
+                 iters: int = 2, init: str = "min_id") -> DataFrame:
     """(id, cell): coarse-quantizer assignment from :func:`kmeans_train`.
 
     The IVF entry point for corpora WITHOUT a precomputed label — train
@@ -197,7 +241,7 @@ def kmeans_cells(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
     projection over the corpus. Hash-exact vs the DuckDB replay of the
     same iterations (oracles.ann_kmeans_cells).
     """
-    cents = kmeans_train(df, id_col, vec_col, k=k, iters=iters)
+    cents = kmeans_train(df, id_col, vec_col, k=k, iters=iters, init=init)
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     return _with_cell(v, cents).select(F.col("id").alias(id_col), "cell")

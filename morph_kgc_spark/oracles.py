@@ -860,11 +860,12 @@ FROM d
 
 
 def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
-                 scale: int = 1_000_000) -> str:
+                 scale: int = 1_000_000, init: str = "min_id") -> str:
     """CTE chain replaying kmeans_train/kmeans_cells bit-for-bit:
-    min-id seeds, per-cell SCALED-INTEGER means (exact,
-    order-independent), squared-L2 assignment in coordinate order with
-    lowest-cell tie-break. Final assignment CTE is ``kcells``."""
+    min-id or farthest-point seeds, per-cell SCALED-INTEGER means
+    (exact, order-independent), squared-L2 assignment in coordinate
+    order with lowest-cell tie-break. Final assignment CTE is
+    ``kcells``."""
 
     def dist(vexpr: str, cexpr: str) -> str:
         return (f"list_sum(list_transform(generate_series(1, {dim}), "
@@ -883,9 +884,27 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
         """c AS (SELECT vec_id AS id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings)""",
-        f"""cent0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v
-    FROM (SELECT id, v FROM c ORDER BY id LIMIT {k}))""",
     ]
+    if init == "farthest":
+        # replay _farthest_point_seeds: seed 0 = min-id vector; seed i
+        # maximizes the MIN squared-L2 distance to seeds 0..i-1, ties
+        # to the lowest id (argmax-deterministic — no RNG)
+        parts.append(
+            "seeds0 AS (SELECT 0 AS cell, id, v FROM c ORDER BY id LIMIT 1)")
+        for i in range(1, k):
+            parts.append(f"""pick{i} AS (
+  SELECT {i} AS cell, t.id, c2.v FROM (
+    SELECT c.id, MIN({dist('c.v', 's.v')}) AS md
+    FROM c CROSS JOIN seeds{i - 1} s GROUP BY c.id
+    ORDER BY md DESC, c.id LIMIT 1) t
+  JOIN c c2 ON c2.id = t.id)""")
+            parts.append(f"""seeds{i} AS (
+  SELECT * FROM seeds{i - 1} UNION ALL SELECT * FROM pick{i})""")
+        parts.append(f"cent0 AS (SELECT cell, v FROM seeds{k - 1})")
+    else:
+        parts.append(
+            f"""cent0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v
+    FROM (SELECT id, v FROM c ORDER BY id LIMIT {k}))""")
     for it in range(iters - 1):
         parts.append(assign(f"a{it}", f"cent{it}"))
         parts.append(f"""u{it} AS (
@@ -902,9 +921,10 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
     return ",\n".join(parts)
 
 
-def ann_kmeans_cells(k: int = 8, iters: int = 2) -> str:
+def ann_kmeans_cells(k: int = 8, iters: int = 2,
+                     init: str = "min_id") -> str:
     return f"""
-WITH {_kmeans_ctes(k, iters)}
+WITH {_kmeans_ctes(k, iters, init=init)}
 SELECT id AS vec_id, cell FROM kcells
 """
 

@@ -195,6 +195,64 @@ def test_kmeans_cells_deterministic_and_correct(spark):
     assert c1 == c2  # bit-identical across runs
 
 
+def test_kmeans_farthest_point_separates_minid_collapse(spark):
+    """Round-6 directive #6: three well-separated clusters whose
+    LOWEST-id vectors all sit in cluster A. min-id seeding puts every
+    seed in A and (with one update round) cannot split B from C;
+    deterministic farthest-point seeding picks one seed per cluster and
+    separates all three. Both inits are RNG-free and repeatable."""
+    from morph_kgc_spark.operators.similarity import (
+        kmeans_cells,
+        kmeans_train,
+    )
+
+    rows = ([(i, [0.0 + i * 0.01, 0.0]) for i in range(6)]          # A
+            + [(10 + i, [100.0 + i * 0.01, 0.0]) for i in range(3)]  # B
+            + [(20 + i, [0.0 + i * 0.01, 100.0]) for i in range(3)])  # C
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def groups(cells):
+        a = {cells[i] for i in range(6)}
+        b = {cells[10 + i] for i in range(3)}
+        c = {cells[20 + i] for i in range(3)}
+        return a, b, c
+
+    def separated(cells):
+        a, b, c = groups(cells)
+        return len(a) == len(b) == len(c) == 1 and len(a | b | c) == 3
+
+    minid = {r.vec_id: r.cell
+             for r in kmeans_cells(df, "vec_id", "embedding",
+                                   k=3, iters=2).collect()}
+    assert not separated(minid), \
+        "fixture sanity: min-id seeding must fail to separate the clusters"
+
+    fp = {r.vec_id: r.cell
+          for r in kmeans_cells(df, "vec_id", "embedding",
+                                k=3, iters=2, init="farthest").collect()}
+    assert separated(fp), \
+        f"farthest-point must separate all three clusters, got {fp}"
+
+    s1 = kmeans_train(df, "vec_id", "embedding", k=3, iters=2,
+                      init="farthest")
+    s2 = kmeans_train(df, "vec_id", "embedding", k=3, iters=2,
+                      init="farthest")
+    assert s1 == s2  # bit-identical across runs
+
+
+def test_kmeans_rejects_non_finite_seed(spark):
+    """Round-6 advice: a NaN coordinate reaching the seed set raises a
+    clear ValueError naming the vector, not a Spark SQL parse error."""
+    import pytest as _pytest
+
+    from morph_kgc_spark.operators.similarity import kmeans_train
+
+    rows = [(0, [float("nan"), 1.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="id=0.*non-finite"):
+        kmeans_train(df, "vec_id", "embedding", k=2, iters=2)
+
+
 def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     """A centroid that captures no vectors keeps its position instead of
     producing nulls (the oracle's COALESCE twin)."""
