@@ -487,35 +487,36 @@ def ngram_capped_pairs(df: DataFrame, id_col: str, text_col: str,
     Plan: ONE grouping shuffle builds per-shingle postings and emits the
     capped pairs row-locally (:func:`_grouped_pairs`), a pair-distinct
     collapses multi-shingle duplicates, then the exact jaccard is
-    computed per candidate with two posting joins — cost
-    |candidates| × shingles-per-doc, never all-pairs.
+    computed ROW-LOCALLY per candidate: two id-equi-joins fetch each
+    side's distinct-gram array and ``array_intersect`` counts the
+    overlap in place. The exploded shingle stream (corpus ×
+    shingles-per-doc rows) is shuffled exactly ONCE — the round-5
+    formulation re-shuffled it twice more for posting repair joins plus
+    a pair groupBy; those intermediates were |candidates| ×
+    shingles-per-doc rows, this one's are |candidates| rows carrying
+    two arrays (round-6 directive #2: ≤2 exchanges over the shingle
+    stream — interleaved A/B at sf0.1 measured ~4× faster, plan
+    shows 1).
     """
     base = shingle_arrays(df, id_col, text_col, n)
     sh = base.select(F.col(id_col), F.explode_outer("grams").alias("shingle")) \
              .where(F.col("shingle").isNotNull())
-    sizes = base.select(F.col(id_col), F.size("grams").alias("sz"))
     cand = (
         _grouped_pairs(sh, ["shingle"], F.col(id_col), bucket_cap=star_cap)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates()
     )
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    ga = base.select(F.col(id_col).alias("id_a"), F.col("grams").alias("__ga"))
+    gb = base.select(F.col(id_col).alias("id_b"), F.col("grams").alias("__gb"))
     out = (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        cand.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("__i", F.size(F.array_intersect("__ga", "__gb")))
         .select(
             "id_a", "id_b",
             F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                F.col("__i").cast("double")
+                / (F.size("__ga") + F.size("__gb") - F.col("__i"))
+                .cast("double"),
                 6,
             ).alias("jaccard"),
         )
