@@ -460,6 +460,10 @@ def q_ann_ivf_kmeans_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """SRP-LSH ANN at shipped defaults: bits=4 with multi-probe
+    (probe_hamming=1) — each query scans its sign bucket plus the 4
+    one-flip neighbors (scan fraction 5/16), the config that clears the
+    recall@5 ≥ 0.8 quality bar (tests/test_ann_recall.py)."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return S.lsh_topk(emb, queries, "vec_id", "embedding", k=5, bits=4)

@@ -70,8 +70,32 @@ def sign_bucket(vec: Column, bits: int) -> Column:
         lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))))
 
 
+def _probe_buckets(bucket: Column, bits: int, hamming: int) -> Column:
+    """Array of bucket keys within Hamming distance ≤ ``hamming`` of the
+    query's own bucket (multi-probe LSH). ``hamming=0`` → just the
+    bucket itself; ``hamming=1`` adds the ``bits`` single-bit flips —
+    the neighbors most likely to hold true matches, since a near
+    neighbor differs in sign only where its coordinate is near zero.
+    Pure string surgery on the key, evaluated per QUERY row (the small
+    broadcast side) — the corpus stays keyed once."""
+    variants = [bucket]
+    if hamming >= 1:
+        for i in range(bits):
+            flipped = F.when(F.substring(bucket, i + 1, 1) == "1",
+                             F.lit("0")).otherwise(F.lit("1"))
+            variants.append(F.concat(F.substring(bucket, 1, i), flipped,
+                                     F.substring(bucket, i + 2,
+                                                 bits - i - 1)))
+    if hamming >= 2:
+        raise ValueError("lsh_topk: probe_hamming > 1 not supported "
+                         "(bucket fan-out grows as C(bits, h); use more "
+                         "nprobe-style cells via ivf_topk instead)")
+    return F.array(*variants)
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
-             vec_col: str, k: int = 5, bits: int = 4) -> DataFrame:
+             vec_col: str, k: int = 5, bits: int = 4,
+             probe_hamming: int = 1) -> DataFrame:
     """SRP-LSH bucketed ANN: exact cosine top-k inside the query's sign
     bucket. One equi-join on the bucket key + one per-query window —
     at 10^12 vectors the corpus is written bucketed on this key, so a
@@ -79,6 +103,18 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     (neighbors straddling a sign boundary are missed) against bucket
     size ~ n/2^bits; high-cosine pairs agree in sign wherever |x| is
     non-negligible, so small ``bits`` keeps recall high.
+
+    ``probe_hamming=1`` (the DEFAULT) enables multi-probe: each query
+    also searches the ``bits`` buckets one sign-flip away (scan
+    fraction ≈ (bits+1)/2^bits), recovering most boundary-straddling
+    neighbors. Measured (tools/ann_recall.py, BENCH.md): on planted
+    near-duplicates (cos ≥ 0.99) bits=4 single-probe recall@5 is 0.79
+    — below the ≥0.8 quality bar — while multi-probe clears it; on the
+    near-uniform sf0.1 embeddings it lifts bits=4 recall@5 ~0.14→~0.5.
+    The explode happens on the broadcast query side only; a neighbor
+    lives in exactly one corpus bucket, so probed buckets are disjoint
+    and no pair dedup is needed. ``probe_hamming=0`` restores the
+    single-bucket scan (fraction 1/2^bits) when scan cost dominates.
     """
     c = _parallelize_narrow(corpus).select(
         F.col(id_col).alias("neighbor_id"),
@@ -87,6 +123,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv")) \
                .withColumn("bucket", sign_bucket(F.col("qv"), bits))
+    if probe_hamming:
+        q = q.withColumn("bucket", F.explode(
+            _probe_buckets(F.col("bucket"), bits, probe_hamming)))
     scored = (
         c.join(F.broadcast(q), on="bucket", how="inner")
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -648,15 +648,37 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}
 """
 
 
-def ann_lsh_topk(k: int = 5, n_queries: int = 10, bits: int = 4) -> str:
+def ann_lsh_topk(k: int = 5, n_queries: int = 10, bits: int = 4,
+                 probe_hamming: int = 1) -> str:
     """Twin of similarity.lsh_topk: same axis-aligned sign bucket, exact
-    cosine within the shared bucket, same tie-break."""
+    cosine within the shared bucket(s), same tie-break. With
+    ``probe_hamming=1`` (the shipped default) the query side is
+    replicated across its own bucket plus the ``bits`` single-bit
+    flips, exactly mirroring ``_probe_buckets`` — probed buckets are
+    disjoint, so the join stream needs no pair dedup."""
     sign = (f"array_to_string(list_transform(v[1:{bits}], "
             "x -> CASE WHEN CAST(x AS DOUBLE) >= 0 THEN '1' ELSE '0' END), '')")
+    if probe_hamming:
+        q_cte = f"""
+q0 AS (SELECT vec_id, embedding AS v, {sign} AS bucket FROM embeddings
+       WHERE vec_id < {n_queries}),
+q AS (
+  SELECT vec_id, v,
+         CASE WHEN p = 0 THEN bucket
+              ELSE substring(bucket, 1, p - 1)
+                   || (CASE WHEN substring(bucket, p, 1) = '1'
+                       THEN '0' ELSE '1' END)
+                   || substring(bucket, p + 1, {bits} - p)
+         END AS bucket
+  FROM q0, generate_series(0, {bits}) AS t(p)
+)"""
+    else:
+        q_cte = f"""
+q AS (SELECT vec_id, embedding AS v, {sign} AS bucket FROM embeddings
+      WHERE vec_id < {n_queries})"""
     return f"""
 WITH c AS (SELECT vec_id, embedding AS v, {sign} AS bucket FROM embeddings),
-q AS (SELECT vec_id, embedding AS v, {sign} AS bucket FROM embeddings
-      WHERE vec_id < {n_queries}),
+{q_cte},
 scored AS (
   SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
          round(list_sum(list_transform(generate_series(1, len(a.v)),
