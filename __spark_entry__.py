@@ -578,6 +578,21 @@ def q_multimodal_decode_stats(spark, sf_dir):
     return image_pixel_stats(synth_ppm_media(docs, "doc_id"))
 
 
+def q_audio_decode_stats(spark, sf_dir):
+    """Multimodal AUDIO path end-to-end under the oracle: synthesize a
+    REAL PCM RIFF/WAVE binary per document (mapInPandas encode), walk
+    its chunks back with the stdlib decoder, and hash the decoded
+    samples — the oracle replays every value in SQL
+    (oracles.audio_decode_stats)."""
+    from morph_kgc_spark.operators.multimodal import (
+        audio_sample_stats,
+        synth_wav_media,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return audio_sample_stats(synth_wav_media(docs, "doc_id"))
+
+
 def q_rollup_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped decimal-exact rollup (general analytics surface)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -745,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": q_text_quality_score,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode_stats": q_multimodal_decode_stats,
+        "audio_decode_stats": q_audio_decode_stats,
         "events_sessionize": q_events_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
         "rollup_pricing_summary": q_rollup_pricing_summary,
@@ -794,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": oracles.text_quality_score(),
         "text_fingerprint": oracles.text_fingerprint(),
         "multimodal_decode_stats": oracles.multimodal_decode_stats(),
+        "audio_decode_stats": oracles.audio_decode_stats(),
         "events_sessionize": oracles.events_sessionize(),
         "events_hourly_rollup": oracles.events_hourly_rollup(),
         "rollup_pricing_summary": oracles.rollup_pricing_summary(),

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -81,6 +82,96 @@ def synth_ppm_media(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+# synthetic PCM-WAV fixture parameters shared with the DuckDB oracle
+# (oracles.audio_decode_stats): rate/channels/frames from the id,
+# int16 samples from the id's md5 hex — every piece SQL-replayable.
+SYNTH_WAV_RATES = (8000, 10000, 20000)   # n_frames/rate terminates <= 6
+SYNTH_WAV_F_BASE, SYNTH_WAV_F_MOD = 40, 25  # decimal digits for all rates
+
+
+def synth_wav_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL PCM RIFF/WAVE binaries from an integer id.
+
+    (media_id, kind, content, mime) per row: channels = 1 + id % 2,
+    sample_rate = SYNTH_WAV_RATES[id % 3], n_frames = 40 + id % 25,
+    int16 samples = consecutive 4-hex-char groups of md5-hex(id)
+    repeated, parsed big-endian and recentred to signed. Encoded with
+    the real writer (:func:`imagecodec.encode_wav`) so the decode side
+    exercises the actual RIFF chunk walk. mapInPandas, zero shuffle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from morph_kgc_spark.operators.imagecodec import encode_wav
+
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "content": [], "mime": []}
+            for v in pdf[id_col]:
+                i = int(v)
+                channels = 1 + i % 2
+                rate = SYNTH_WAV_RATES[i % len(SYNTH_WAV_RATES)]
+                n_frames = SYNTH_WAV_F_BASE + i % SYNTH_WAV_F_MOD
+                need_hex = n_frames * channels * 4
+                hx = hashlib.md5(str(i).encode()).hexdigest()
+                hx = (hx * -(-need_hex // len(hx)))[:need_hex]
+                vals = [int(hx[p:p + 4], 16) for p in range(0, need_hex, 4)]
+                samples = np.array(
+                    [u - 65536 if u >= 32768 else u for u in vals],
+                    dtype=np.int32).reshape(n_frames, channels)
+                rows["media_id"].append(str(i))
+                rows["kind"].append("audio")
+                rows["content"].append(encode_wav(samples, rate))
+                rows["mime"].append("audio/wav")
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("bits", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("duration_s", DoubleType()),
+    StructField("sample_hash", StringType()),
+])
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL WAV decode → header fields + a hash of the decoded SAMPLES.
+
+    ``sample_hash`` is md5 of the comma-joined decimal sample values in
+    frame-major order — value space, not byte space, so the DuckDB
+    oracle replays it with string building (no blob hashing) while still
+    proving the PCM payload round-tripped bit-for-bit; header fields
+    alone would pass on a fmt-chunk sniff. mapInPandas, zero shuffle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from morph_kgc_spark.operators.imagecodec import decode_wav
+
+        for pdf in it:
+            rows = {k.name: [] for k in AUDIO_STATS_SCHEMA.fields}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    continue
+                meta, samples = decode_wav(bytes(c))
+                joined = ",".join(str(int(x)) for x in samples.flatten())
+                rows["media_id"].append(mid)
+                rows["channels"].append(meta["channels"])
+                rows["sample_rate"].append(meta["sample_rate"])
+                rows["bits"].append(meta["bits"])
+                rows["n_frames"].append(meta["n_frames"])
+                rows["duration_s"].append(meta["duration_s"])
+                rows["sample_hash"].append(
+                    hashlib.md5(joined.encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, AUDIO_STATS_SCHEMA)
 
 
 PIXEL_STATS_SCHEMA = StructType([

@@ -876,6 +876,55 @@ FROM d
 """
 
 
+def audio_decode_stats() -> str:
+    """Replays the synthetic PCM-WAV pipeline entirely in SQL: rate/
+    channels/frames from the id, int16 samples = big-endian 4-hex-char
+    groups of md5(id) repeated (recentred to signed), sample_hash = md5
+    of the comma-joined decimal values in frame order. The Spark side
+    must ENCODE the RIFF container, walk its chunks back with the real
+    decoder, and hash the decoded samples to match
+    (operators/multimodal.py synth_wav_media/audio_sample_stats)."""
+    from morph_kgc_spark.operators.multimodal import (
+        SYNTH_WAV_F_BASE,
+        SYNTH_WAV_F_MOD,
+        SYNTH_WAV_RATES,
+    )
+
+    rates = ", ".join(str(r) for r in SYNTH_WAV_RATES)
+    hexd = "'0123456789abcdef'"
+
+    def nib(off: int) -> str:
+        return f"(strpos({hexd}, substr(hx, (j-1)*4+{off}, 1)) - 1)"
+
+    u = (f"{nib(1)}*4096 + {nib(2)}*256 + {nib(3)}*16 + {nib(4)}")
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(1 + doc_id % 2 AS INT) AS channels,
+         CAST(([{rates}])[CAST(doc_id % {len(SYNTH_WAV_RATES)} AS INT) + 1]
+              AS INT) AS sample_rate,
+         CAST({SYNTH_WAV_F_BASE} + doc_id % {SYNTH_WAV_F_MOD} AS INT)
+           AS n_frames
+  FROM documents
+), h AS (
+  SELECT *, n_frames * channels AS n_samp,
+         substr(repeat(md5(media_id),
+                       CAST(ceil((n_frames * channels * 4) / 32.0) AS INT)),
+                1, n_frames * channels * 4) AS hx
+  FROM d
+)
+SELECT media_id, channels, sample_rate, CAST(16 AS INT) AS bits, n_frames,
+       round(CAST(n_frames AS DOUBLE) / sample_rate, 6) AS duration_s,
+       md5(array_to_string(
+         list_transform(
+           list_transform(generate_series(1, n_samp), j -> {u}),
+           u -> CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+                     AS VARCHAR)),
+         ',')) AS sample_hash
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # k-means coarse quantizer (operators/similarity.py kmeans_train/kmeans_cells)
 # ---------------------------------------------------------------------------

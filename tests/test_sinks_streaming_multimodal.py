@@ -196,6 +196,45 @@ def test_synth_ppm_roundtrip_pixel_stats(spark):
         assert r.pixel_hash == hashlib.md5(px_hex.encode()).hexdigest()
 
 
+def test_synth_wav_roundtrip_sample_stats(spark):
+    """synth_wav_media emits REAL PCM RIFF binaries; audio_sample_stats
+    walks the chunks back with the real decoder and its sample hash
+    matches a driver-side replay of the sample formula (the same formula
+    the DuckDB oracle runs in SQL)."""
+    import hashlib
+
+    from morph_kgc_spark.operators.multimodal import (
+        SYNTH_WAV_F_BASE,
+        SYNTH_WAV_F_MOD,
+        SYNTH_WAV_RATES,
+        audio_sample_stats,
+        synth_wav_media,
+    )
+
+    ids = spark.createDataFrame([(3,), (10,), (77,)], "doc_id long")
+    media = synth_wav_media(ids, "doc_id")
+    # the binaries are genuine RIFF/WAVE containers
+    for r in media.collect():
+        assert bytes(r.content[:4]) == b"RIFF"
+        assert bytes(r.content[8:12]) == b"WAVE"
+    stats = {r.media_id: r for r in audio_sample_stats(media).collect()}
+    assert len(stats) == 3
+    for i in (3, 10, 77):
+        r = stats[str(i)]
+        channels = 1 + i % 2
+        rate = SYNTH_WAV_RATES[i % len(SYNTH_WAV_RATES)]
+        n_frames = SYNTH_WAV_F_BASE + i % SYNTH_WAV_F_MOD
+        assert (r.channels, r.sample_rate, r.bits, r.n_frames) == \
+            (channels, rate, 16, n_frames)
+        assert r.duration_s == round(n_frames / rate, 6)
+        need = n_frames * channels * 4
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        hx = (hx * -(-need // len(hx)))[:need]
+        vals = [int(hx[p:p + 4], 16) for p in range(0, need, 4)]
+        joined = ",".join(str(u - 65536 if u >= 32768 else u) for u in vals)
+        assert r.sample_hash == hashlib.md5(joined.encode()).hexdigest()
+
+
 def test_resize_unrecognized_format_raises(spark):
     # _media holds non-image bytes; real formats are covered in
     # tests/test_imagecodec.py
