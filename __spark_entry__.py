@@ -564,6 +564,36 @@ def q_text_fingerprint(spark, sf_dir):
     return T.fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (train-test overlap scrub): documents
+    are split deterministically into corpus (doc_id % 20 != 7) and
+    benchmark (== 7); per corpus doc, count of its distinct word
+    3-grams appearing anywhere in the benchmark set, flag at >= 5.
+    The corpus (the 100-TB side) is never shuffled — the benchmark
+    shingle set broadcasts as one array row."""
+    from morph_kgc_spark.operators.curation import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 20 != 7)
+    bench = docs.where(F.col("doc_id") % 20 == 7)
+    return decontaminate(corpus, bench, "doc_id", "text", n=3, min_hit=5)
+
+
+_SAMPLE_RATES = {"en": 0.3, "zh": 0.8}
+
+
+def q_llm_sample_stratified(spark, sf_dir):
+    """Deterministic hash-gated stratified sampling (language
+    rebalancing): md5-bucket decisions, reproducible across engines,
+    cluster sizes and partitionings — a pure narrow scan-time filter."""
+    from morph_kgc_spark.operators.curation import sample_stratified
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    return sample_stratified(docs, "doc_id", "lang", _SAMPLE_RATES,
+                             default_rate=0.5, salt="r6")
+
+
 def q_multimodal_decode_stats(spark, sf_dir):
     """Multimodal image path end-to-end under the oracle: synthesize a
     REAL P6-PPM binary per document (mapInPandas encode), decode it with
@@ -759,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality_score": q_text_quality_score,
         "text_fingerprint": q_text_fingerprint,
+        "llm_decontaminate": q_llm_decontaminate,
+        "llm_sample_stratified": q_llm_sample_stratified,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "events_sessionize": q_events_sessionize,
@@ -809,6 +841,9 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": oracles.text_language_id(),
         "text_quality_score": oracles.text_quality_score(),
         "text_fingerprint": oracles.text_fingerprint(),
+        "llm_decontaminate": oracles.llm_decontaminate(),
+        "llm_sample_stratified": oracles.llm_sample_stratified(
+            _SAMPLE_RATES, 0.5, "r6"),
         "multimodal_decode_stats": oracles.multimodal_decode_stats(),
         "audio_decode_stats": oracles.audio_decode_stats(),
         "events_sessionize": oracles.events_sessionize(),

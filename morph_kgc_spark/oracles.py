@@ -876,6 +876,71 @@ FROM d
 """
 
 
+def _shingles_cte_over(src: str, alias: str, n: int = 3) -> str:
+    """Like :func:`_shingles_cte` but over an arbitrary relation
+    ``src`` (must expose doc_id, text), emitting CTE ``<alias>sh``."""
+    concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+{alias}toks AS (SELECT doc_id, {_TOKENS} AS t FROM {src}),
+{alias}grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(t) - {n - 1}, 0)),
+             i -> {concat})) AS shingle
+  FROM {alias}toks
+),
+{alias}sh AS (SELECT DISTINCT doc_id, shingle FROM {alias}grams)"""
+
+
+def llm_decontaminate(n: int = 3, min_hit: int = 5, bench_mod: int = 20,
+                      bench_rem: int = 7) -> str:
+    """Twin of operators/curation.decontaminate over the deterministic
+    corpus/benchmark split of the documents table: per corpus doc, the
+    count of its distinct word n-grams occurring anywhere in the
+    benchmark set, and the ``n_hit >= min_hit`` contamination flag."""
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % {bench_mod} <> {bench_rem}),
+bench AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % {bench_mod} = {bench_rem}),
+{_shingles_cte_over('corpus', 'c', n)},
+{_shingles_cte_over('bench', 'b', n)},
+bset AS (SELECT DISTINCT shingle FROM bsh),
+stats AS (
+  SELECT c.doc_id, count(*) AS n_grams, count(b.shingle) AS n_hit
+  FROM csh c LEFT JOIN bset b USING (shingle)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS INT) AS n_grams,
+       CAST(COALESCE(s.n_hit, 0) AS INT) AS n_hit,
+       COALESCE(s.n_hit, 0) >= {min_hit} AS contaminated
+FROM corpus d LEFT JOIN stats s USING (doc_id)
+"""
+
+
+def _sample_bucket_sql(salt: str) -> str:
+    """DuckDB twin of curation._bucket: h64('salt|' || id) % 10^6."""
+    h = h64_sql(f"'{salt}|' || CAST(doc_id AS VARCHAR)")
+    return f"({h} % 1000000)"
+
+
+def llm_sample_stratified(rates: dict[str, float], default_rate: float,
+                          salt: str) -> str:
+    """Twin of curation.sample_stratified on documents, stratified by
+    lang. Thresholds are truncated to integer buckets in PYTHON (same
+    as the Spark side) so no engine double→long cast is in play."""
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {int(v * 1_000_000)}"
+        for k, v in sorted(rates.items())) + \
+        f" ELSE {int(default_rate * 1_000_000)} END"
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_sample_bucket_sql(salt)} < {case}
+"""
+
+
 def audio_decode_stats() -> str:
     """Replays the synthetic PCM-WAV pipeline entirely in SQL: rate/
     channels/frames from the id, int16 samples = big-endian 4-hex-char
