@@ -564,6 +564,13 @@ def q_text_fingerprint(spark, sf_dir):
     return T.fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals, all row-local array math (zero
+    shuffle; the oracle recomputes the bigram mode relationally)."""
+    return T.repetition_stats(_read(spark, sf_dir, "documents"),
+                              "doc_id", "text")
+
+
 def q_llm_decontaminate(spark, sf_dir):
     """Benchmark decontamination (train-test overlap scrub): documents
     are split deterministically into corpus (doc_id % 20 != 7) and
@@ -789,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality_score": q_text_quality_score,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition_stats": q_text_repetition_stats,
         "llm_decontaminate": q_llm_decontaminate,
         "llm_sample_stratified": q_llm_sample_stratified,
         "multimodal_decode_stats": q_multimodal_decode_stats,
@@ -841,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": oracles.text_language_id(),
         "text_quality_score": oracles.text_quality_score(),
         "text_fingerprint": oracles.text_fingerprint(),
+        "text_repetition_stats": oracles.text_repetition_stats(),
         "llm_decontaminate": oracles.llm_decontaminate(),
         "llm_sample_stratified": oracles.llm_sample_stratified(
             _SAMPLE_RATES, 0.5, "r6"),

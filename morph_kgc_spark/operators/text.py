@@ -207,6 +207,78 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
 
 
+def _top_run_count(arr: Column) -> Column:
+    """Count of the most frequent element of ``arr`` (the mode's
+    multiplicity), computed ROW-LOCALLY: sort the array, find the run
+    boundaries, take the longest run. Zero shuffle — the alternative
+    (explode + groupBy(id, gram) + max) moves the whole gram stream
+    through an exchange to compute what is a per-row statistic.
+    Interpreted-lambda cost is O(n log n) per row, bounded by document
+    length, not corpus size. Returns 0 for an empty array."""
+    s = F.array_sort(arr)
+    n = F.size(arr)
+    # greatest(i-1, 1): never touch index 0 (ANSI array indexing) — the
+    # i == 1 disjunct makes the self-comparison at i = 1 irrelevant
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.element_at(s, i)
+                              != F.element_at(s, F.greatest(i - 1, F.lit(1)))),
+    )
+    ends = F.concat(F.slice(starts, 2, F.size(starts) - 1),
+                    F.array(n + 1))
+    return F.when(n >= 1,
+                  F.array_max(F.zip_with(starts, ends, lambda a, b: b - a))) \
+            .otherwise(F.lit(0))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted
+    to the whitespace-token corpus): per doc,
+
+    - ``dup_token_frac``   = 1 − distinct_tokens / n_tokens
+    - ``top_bigram_frac``  = count of the most frequent word 2-gram
+      over the number of 2-grams
+    - ``dup_trigram_frac`` = 1 − distinct 3-grams / n_3-grams
+
+    High values flag boilerplate/spam for curation filters. Everything
+    is row-local array math (``array_distinct`` + sorted-run mode) —
+    at 100 TB this is a pure map over the corpus: no exchange, no
+    explode, partitions stream through whole-stage-codegen projections
+    plus bounded per-row lambda work. Fractions are 0.0 for docs too
+    short to form the n-gram.
+    """
+    tok_df = _parallelize_narrow(df, id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tok"))
+    # materialize gram arrays in their own projection: Catalyst does no
+    # CSE inside lambdas, so inlining would re-derive them per use
+    g = tok_df.select(
+        F.col(id_col),
+        F.col("__tok").alias("t1"),
+        word_ngrams(F.col("__tok"), 2).alias("t2"),
+        word_ngrams(F.col("__tok"), 3).alias("t3"),
+    )
+
+    def _dup_frac(arr: Column) -> Column:
+        n = F.size(arr).cast("double")
+        return F.when(
+            n > 0,
+            F.round(F.lit(1.0)
+                    - F.size(F.array_distinct(arr)).cast("double") / n, 6),
+        ).otherwise(F.lit(0.0))
+
+    n2 = F.size("t2").cast("double")
+    top2 = F.when(
+        n2 > 0,
+        F.round(_top_run_count(F.col("t2")).cast("double") / n2, 6),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        F.col(id_col),
+        _dup_frac(F.col("t1")).alias("dup_token_frac"),
+        top2.alias("top_bigram_frac"),
+        _dup_frac(F.col("t3")).alias("dup_trigram_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Position-weighted rolling document fingerprint mod P31.
 

@@ -763,6 +763,36 @@ FROM s
 """
 
 
+def text_repetition_stats() -> str:
+    """Twin of operators.text.repetition_stats. The Spark side computes
+    the bigram mode row-locally (sorted-run max); the oracle reaches
+    the same number the relational way (unnest + group by + max) —
+    twins must agree on RESULTS, not strategy."""
+    def grams(n: int) -> str:
+        concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        return (f"list_transform(generate_series(1, "
+                f"greatest(len(t) - {n - 1}, 0)), i -> {concat})")
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+g AS (SELECT doc_id, t AS t1, {grams(2)} AS t2, {grams(3)} AS t3 FROM toks),
+b AS (SELECT doc_id, unnest(t2) AS gram FROM g),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2),
+bt AS (SELECT doc_id, max(c) AS topc FROM bc GROUP BY 1)
+SELECT g.doc_id,
+       CASE WHEN len(t1) > 0 THEN round(1.0 - CAST(len(list_distinct(t1)) AS DOUBLE)
+                                              / CAST(len(t1) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN len(t2) > 0 THEN round(CAST(topc AS DOUBLE)
+                                        / CAST(len(t2) AS DOUBLE), 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN len(t3) > 0 THEN round(1.0 - CAST(len(list_distinct(t3)) AS DOUBLE)
+                                              / CAST(len(t3) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM g LEFT JOIN bt USING (doc_id)
+"""
+
+
 def text_fingerprint() -> str:
     h = h64_sql("t[i]")
     return f"""

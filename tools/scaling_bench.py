@@ -100,8 +100,12 @@ def main() -> None:
         "timestamp": datetime.now(timezone.utc).isoformat(),
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — scaling evidence (north rule)
+    # SCALING_LATEST.md, not BENCH.md: BENCH.md is a curated multi-
+    # section document now — clobbering it from here lost nothing only
+    # because earlier rounds ran this before the hand-curation. The
+    # round report gets merged into BENCH.md's scaling section by hand.
+    with open(os.path.join(REPO, "SCALING_LATEST.md"), "w") as f:
+        f.write(f"""# Scaling evidence (north rule)
 
 Job: full KG-construction web pipeline (synthetic pages → Arrow-UDF
 text extraction → token-aligned mention detection → broadcast-dict
