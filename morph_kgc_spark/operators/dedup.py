@@ -27,6 +27,7 @@ from morph_kgc_spark.functions.hashing import (
     LSH_BANDS,
     LSH_ROWS,
     N_PERMS,
+    h64,
     h64_spark_sql,
     perm_sql,
 )
@@ -497,6 +498,16 @@ def ngram_capped_pairs(df: DataFrame, id_col: str, text_col: str,
     two arrays (round-6 directive #2: ≤2 exchanges over the shingle
     stream — interleaved A/B at sf0.1 measured ~4× faster, plan
     shows 1).
+
+    The intersect runs in :func:`h64` space, not string space: each
+    side's distinct-gram array is mapped to distinct 60-bit md5 hashes
+    once per document, so the |candidates| hot loop intersects 8-byte
+    longs instead of ~30-byte strings (measured ~30% off the whole
+    query; the broadcast halves too). The DuckDB oracle intersects the
+    SAME hash values, so parity is bit-exact even in the 2^-60 event
+    of a collision — which is also the only case where the reported
+    jaccard deviates from raw-string jaccard (two colliding grams
+    count once; same order of error as minhash's own hash family).
     """
     base = shingle_arrays(df, id_col, text_col, n)
     sh = base.select(F.col(id_col), F.explode_outer("grams").alias("shingle")) \
@@ -506,8 +517,11 @@ def ngram_capped_pairs(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates()
     )
-    ga = base.select(F.col(id_col).alias("id_a"), F.col("grams").alias("__ga"))
-    gb = base.select(F.col(id_col).alias("id_b"), F.col("grams").alias("__gb"))
+    gh = base.select(
+        F.col(id_col),
+        F.array_distinct(F.transform("grams", h64)).alias("__gh"))
+    ga = gh.select(F.col(id_col).alias("id_a"), F.col("__gh").alias("__ga"))
+    gb = gh.select(F.col(id_col).alias("id_b"), F.col("__gh").alias("__gb"))
     out = (
         cand.join(ga, "id_a").join(gb, "id_b")
         .withColumn("__i", F.size(F.array_intersect("__ga", "__gb")))

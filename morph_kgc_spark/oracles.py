@@ -1141,10 +1141,14 @@ def dedup_ngram_capped(cap: int = 3) -> str:
     """Twin of ngram_capped_pairs(star_cap=cap): posting lists larger
     than ``cap`` contribute star edges only (min-id hub), smaller lists
     the full i<j pairs; jaccard is exact over ALL shingles for every
-    surviving candidate."""
+    surviving candidate. The jaccard runs in the SAME h64 space as the
+    Spark side (distinct md5-derived hashes per doc), so the twin is
+    bit-exact even in the 2^-60 event of a hash collision."""
+    hs = h64_sql("shingle")
     return f"""
 WITH {_shingles_cte(3)},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+hsh AS (SELECT DISTINCT doc_id, {hs} AS hs FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM hsh GROUP BY doc_id),
 counted AS (
   SELECT doc_id, shingle,
          count(*) OVER (PARTITION BY shingle) AS pn,
@@ -1157,8 +1161,8 @@ cand AS (
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i
   FROM cand c
-  JOIN sh x ON x.doc_id = c.id_a
-  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  JOIN hsh x ON x.doc_id = c.id_a
+  JOIN hsh y ON y.doc_id = c.id_b AND y.hs = x.hs
   GROUP BY c.id_a, c.id_b)
 SELECT i.id_a, i.id_b,
        round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
