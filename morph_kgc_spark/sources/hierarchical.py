@@ -23,7 +23,10 @@ Spark re-expression:
 Supported JSON iterator grammar (covers the reference test corpus):
 ``$``, ``$.*``, ``$[*]``, and dotted paths with optional ``[*]`` on any
 step (``$.students[*]``, ``$.a.b[*]``). XPath iterators support element
-steps and ``//`` descent; predicates/functions are rejected loudly.
+steps, ``//`` descent, ``*`` wildcards (schema-side branch expansion),
+and per-step ``[@attr='v']`` / ``[text()='v']`` / ``[contains(@attr,
+'v')]`` / ``[n]`` predicates; axes and other functions are rejected
+loudly.
 """
 
 from __future__ import annotations
@@ -286,6 +289,20 @@ def _empty_nodes(df: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("_VALUE"))
 
 
+def _strip_node(cur: DataFrame, in_node: bool) -> DataFrame:
+    """Normalize a descent context to plain columns so a recursive
+    branch descent can restart with column-level steps: mid-descent the
+    current element lives in the ``__n`` struct — projecting its fields
+    (attributes included) makes them addressable as ordinary columns."""
+    if not in_node:
+        return cur
+    node_t = cur.schema["__n"].dataType
+    if isinstance(node_t, StructType):
+        return cur.select("__n.*")
+    # primitive element: no element children; expose text for _VALUE
+    return cur.select(F.col("__n").alias("_VALUE"))
+
+
 def _elem_pred(elem_dt, pred):
     """Per-element boolean Column builder for VALUE predicates
     (``attr`` / ``attr_contains`` / ``text``), or ``None`` when the
@@ -319,8 +336,52 @@ def _elem_pred(elem_dt, pred):
 _VALUE_PREDS = ("attr", "attr_contains", "text")
 
 
-def _descend_steps(df: DataFrame, steps: list[tuple]) -> DataFrame:
-    """Navigate scan rows down a chain of child steps with predicates.
+def _child_elems(cur: DataFrame, in_node: bool) -> dict:
+    """Element-child fields of the current context (name → dataType).
+
+    Attribute fields (``_attr``) and the text field (``_VALUE``) are
+    excluded — the scan encodes them with a leading underscore, so an
+    XML element whose own name starts with ``_`` is indistinguishable
+    and not reachable through wildcard/descendant steps (named steps
+    still find it)."""
+    from pyspark.sql.types import StructType as _St
+
+    if not in_node:
+        return {f.name: f.dataType for f in cur.schema.fields
+                if not f.name.startswith("_")}
+    node_t = cur.schema["__n"].dataType
+    if not isinstance(node_t, _St):
+        return {}
+    return {n: node_t[n].dataType for n in node_t.fieldNames()
+            if not n.startswith("_")}
+
+
+def _desc_paths(children: dict, name: str | None) -> list[tuple]:
+    """All element-field paths from the current context whose final
+    field is ``name`` (any element when ``None``), every depth ≥ 1 —
+    the schema-side enumeration of a descendant step. The walk is over
+    the (driver-side, finite) inferred struct schema, never the data."""
+    from pyspark.sql.types import StructType as _St
+
+    out: list[tuple] = []
+    stack: list[tuple] = [((), children)]
+    while stack:
+        prefix, kids = stack.pop()
+        for f, dt in kids.items():
+            p = prefix + (f,)
+            if name is None or f == name:
+                out.append(p)
+            inner = dt.elementType if isinstance(dt, ArrayType) else dt
+            if isinstance(inner, _St):
+                stack.append((p, {n: inner[n].dataType
+                                  for n in inner.fieldNames()
+                                  if not n.startswith("_")}))
+    return sorted(out)
+
+
+def _descend_steps(df: DataFrame, steps: list[tuple],
+                   _as_branch: bool = False):
+    """Navigate scan rows down a chain of steps with predicates.
 
     XPath evaluates each step within its PARENT context —
     ``/shelf/book[2]`` is the 2nd book of EVERY shelf, not the 2nd book
@@ -328,30 +389,64 @@ def _descend_steps(df: DataFrame, steps: list[tuple]) -> DataFrame:
     ``try_element_at`` and attribute predicates filter the child array
     per row (absent attribute never matches, like elementpath). All
     per-row Column work: fully distributed, no window over a global
-    order. Descendant (``//``) and wildcard steps cannot descend
-    through typed struct fields and are rejected loudly.
+    order.
+
+    Wildcard (``*``) and descendant (``//``) steps are expanded
+    DRIVER-SIDE against the inferred schema into the concrete child
+    chains they can match (:func:`_desc_paths`), each branch descended
+    independently and the results unioned by name — rows never leave
+    the executors, and the branch count is bounded by the schema, not
+    the data. Two caveats, both documented limits: document order is
+    not preserved ACROSS branches (within one branch the per-parent
+    array order survives), and a positional predicate directly on a
+    wildcard step is rejected loudly (the typed representation does
+    not record sibling interleaving across different tags).
+
+    ``_as_branch=True`` (internal) returns ``None`` instead of the
+    empty node-set so a parent expansion can skip dead branches rather
+    than union their ``_VALUE`` schema in.
     """
     from pyspark.sql.types import StructType as _St
 
+    def _nomatch(frame):
+        return None if _as_branch else _empty_nodes(frame)
+
     cur, in_node = df, False
-    for name, pred, desc in steps:
-        if desc:
-            raise ValueError(
-                "descendant ('//') steps inside a predicate chain are "
-                "unsupported (parent context is unknown)")
-        if name is None:
-            raise ValueError(
-                "wildcard ('*') steps inside a predicate chain are "
-                "unsupported")
+    for idx, (name, pred, desc) in enumerate(steps):
+        if desc or name is None:
+            if pred is not None and pred[0] == "pos" and name is None:
+                raise ValueError(
+                    "positional predicate on a wildcard step is "
+                    "unsupported (sibling order across different tags "
+                    "is not represented)")
+            children = _child_elems(cur, in_node)
+            paths = (_desc_paths(children, name) if desc
+                     else [(f,) for f in sorted(children)
+                           if name is None or f == name])
+            rest = steps[idx + 1:]
+            branches = []
+            for p in paths:
+                chain = ([(s, None, False) for s in p[:-1]]
+                         + [(p[-1], pred, False)] + rest)
+                b = _descend_steps(_strip_node(cur, in_node), chain,
+                                   _as_branch=True)
+                if b is not None:
+                    branches.append(b)
+            if not branches:
+                return _nomatch(cur)
+            out = branches[0]
+            for b in branches[1:]:
+                out = out.unionByName(b, allowMissingColumns=True)
+            return out
         if not in_node:
             dtypes = {f.name: f.dataType for f in cur.schema.fields}
             if name not in dtypes:
-                return _empty_nodes(cur)
+                return _nomatch(cur)
             col, dt = F.col(f"`{name}`"), dtypes[name]
         else:
             node_t = cur.schema["__n"].dataType
             if not isinstance(node_t, _St) or name not in node_t.fieldNames():
-                return _empty_nodes(cur)
+                return _nomatch(cur)
             col, dt = F.col("__n")[name], node_t[name].dataType
         if isinstance(dt, ArrayType):
             elem = dt.elementType
@@ -364,7 +459,7 @@ def _descend_steps(df: DataFrame, steps: list[tuple]) -> DataFrame:
             elif pred is not None and pred[0] in _VALUE_PREDS:
                 fn = _elem_pred(elem, pred)
                 if fn is None:
-                    return _empty_nodes(cur)
+                    return _nomatch(cur)
                 cur = (cur.select(F.explode_outer(F.filter(col, fn))
                                   .alias("__n"))
                        .where(F.col("__n").isNotNull()))
@@ -374,13 +469,13 @@ def _descend_steps(df: DataFrame, steps: list[tuple]) -> DataFrame:
         else:
             # single child element: position 1 is the only one
             if pred is not None and pred[0] == "pos" and pred[1] != 1:
-                return _empty_nodes(cur)
+                return _nomatch(cur)
             cur = cur.select(col.alias("__n")) \
                      .where(F.col("__n").isNotNull())
             if pred is not None and pred[0] in _VALUE_PREDS:
                 fn = _elem_pred(dt, pred)
                 if fn is None:
-                    return _empty_nodes(cur)
+                    return _nomatch(cur)
                 cur = cur.where(fn(F.col("__n")))
         in_node = True
     if not in_node:
@@ -425,11 +520,18 @@ def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
     predicated step (its parent for positional predicates — XPath
     counts within the parent context) and the remaining steps navigate
     the typed row struct per row (:func:`_descend_steps`), fully
-    distributed.
-    Parentless positional predicates (``//book[2]``) are rejected
-    loudly: without the parent element the per-parent semantics cannot
-    be reproduced (round-4 advice — a global document-order row_number
-    diverges from elementpath and serializes the scan).
+    distributed. Wildcard (``*``) and mid-chain descendant (``//``)
+    steps are expanded against the inferred schema into concrete
+    branches (:func:`_desc_paths`) — ``/a/*/c[2]``, ``/shelf//book[2]``
+    and ``/a/b/*`` all navigate per-row; document order is not
+    preserved ACROSS expansion branches.
+    Still rejected loudly: parentless positional descendants
+    (``//book[2]`` — the document root may itself be the element, and
+    elementpath's document-node parent context cannot be reproduced
+    from a rowTag scan), positional predicates directly on a wildcard
+    step (sibling interleaving across tags is not represented), and
+    descendant-from-root forms that could address the root element
+    itself.
     """
 
     def _scan(tag: str) -> DataFrame:
@@ -444,54 +546,87 @@ def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
         if iterator is None:
             raise ValueError("xml source needs rowTag or iterator")
         steps = _parse_xpath(iterator)
+        absolute = iterator.lstrip().startswith("/")
         pred_idx = [i for i, s in enumerate(steps) if s[1] is not None]
-        if any(s[0] is None for i, s in enumerate(steps)
-               if pred_idx and i >= pred_idx[0]):
-            raise ValueError(
-                f"wildcard step at/after a predicate in {iterator!r} "
-                "is unsupported")
+
+        def _root_descend() -> DataFrame:
+            """Universal fallback: scan the document root, consume an
+            ABSOLUTE first step addressing the root element itself
+            (``/name[n]`` matches only when the root carries that name
+            and only at position 1 — elementpath; a child-descent here
+            silently returned the wrong node set), then navigate the
+            remaining steps schema-side."""
+            root = _sniff_root_tag(path)
+            rdf_ = _scan(root)
+            if not steps:
+                return rdf_
+            if absolute:
+                name0, pred0, desc0 = steps[0]
+                if desc0 and (name0 is None or name0 == root):
+                    raise ValueError(
+                        f"descendant-from-root step in {iterator!r} may "
+                        "address the root element itself, which a rowTag "
+                        "scan cannot represent; unsupported")
+                if desc0:
+                    return _descend_steps(rdf_, steps)
+                if name0 is not None and name0 != root:
+                    return _empty_nodes(rdf_)
+                if pred0 is not None:
+                    if pred0[0] == "pos":
+                        if pred0[1] != 1:
+                            return _empty_nodes(rdf_)
+                    else:
+                        rdf_ = _attr_row_filter(rdf_, pred0)
+                return _descend_steps(rdf_, steps[1:])
+            # relative path: steps are children of the root
+            return _descend_steps(rdf_, steps)
+
         if not pred_idx:
-            named = [s for s in steps if s[0] is not None]
-            df = _scan(named[-1][0] if named else _sniff_root_tag(path))
+            named_idx = [i for i, s in enumerate(steps) if s[0] is not None]
+            if not named_idx:
+                # pure wildcard chains: '/*' is the root element itself,
+                # '/*/*' its grandchildren; '//*' could address the root
+                if any(s[2] for s in steps):
+                    raise ValueError(
+                        f"descendant wildcard with no named step in "
+                        f"{iterator!r} is unsupported (may address the "
+                        "document root itself)")
+                df = _root_descend()
+            elif named_idx[-1] == len(steps) - 1:
+                # ends in a named step: distributed rowTag scan at the
+                # deepest element name (matches at any depth, the
+                # documented approximation for named chains)
+                df = _scan(steps[-1][0])
+            else:
+                # wildcard/descendant TAIL ('/a/b/*', 'a/b//*'): scan
+                # the deepest named step, navigate the rest per row
+                df = _descend_steps(_scan(steps[named_idx[-1]][0]),
+                                    steps[named_idx[-1] + 1:])
         else:
             i0 = pred_idx[0]
             name, pred, desc = steps[i0]
-            if pred[0] in _VALUE_PREDS:
+            if pred[0] == "pos" and desc and i0 == 0:
+                raise ValueError(
+                    f"positional predicate on a parentless descendant "
+                    f"step in {iterator!r} is unsupported (parent "
+                    "context unknown; elementpath counts per parent)")
+            if pred[0] == "pos" and name is None:
+                raise ValueError(
+                    f"positional predicate on a wildcard step in "
+                    f"{iterator!r} is unsupported (sibling order across "
+                    "different tags is not represented)")
+            if pred[0] in _VALUE_PREDS and name is not None:
                 # scan AT the predicated element, filter its own
                 # attribute / text per row
                 df = _descend_steps(_attr_row_filter(_scan(name), pred),
                                     steps[i0 + 1:])
-            else:  # positional: scan the PARENT, pick n-th child per row
-                if desc:
-                    raise ValueError(
-                        f"positional predicate on a descendant step in "
-                        f"{iterator!r} is unsupported (parent context "
-                        "unknown; elementpath counts per parent)")
-                if i0 > 0 and steps[i0 - 1][0] is None:
-                    raise ValueError(
-                        f"wildcard parent of a positional predicate in "
-                        f"{iterator!r} is unsupported (the parent "
-                        "element cannot be scanned)")
-                if i0 == 0:
-                    # the predicated step's parent is the document root
-                    root = _sniff_root_tag(path)
-                    if iterator.lstrip().startswith("/"):
-                        # ABSOLUTE path: /name[n] addresses the root
-                        # element itself — it matches only when the
-                        # root carries that name, and only at position
-                        # 1 (elementpath semantics; a child-descent
-                        # here silently returned the wrong node set)
-                        if name != root or pred[1] != 1:
-                            df = _empty_nodes(_scan(root))
-                        else:
-                            df = _descend_steps(_scan(root),
-                                                steps[1:])
-                    else:
-                        # relative path: steps are children of the root
-                        df = _descend_steps(_scan(root), steps)
-                else:
-                    df = _descend_steps(_scan(steps[i0 - 1][0]),
-                                        steps[i0:])
+            elif i0 > 0 and steps[i0 - 1][0] is not None:
+                # positional on a named step, or value-pred on a
+                # wildcard: scan the nearest named ancestor, navigate
+                # down (descendant steps search below it schema-side)
+                df = _descend_steps(_scan(steps[i0 - 1][0]), steps[i0:])
+            else:
+                df = _root_descend()
     if not flatten:
         return df
     df = flatten_xml(df)

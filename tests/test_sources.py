@@ -417,13 +417,52 @@ def test_xml_xpath_root_positional_absolute_semantics(spark, tmp_path):
     assert [r["."] for r in df2.collect()] == ["two"]
 
 
-def test_xml_xpath_wildcard_parent_of_positional_rejected(spark, tmp_path):
-    """A wildcard parent of a positional step cannot be scanned — loud
-    ValueError, not a cryptic Spark INTERNAL_ERROR (round-5 review)."""
+def test_xml_xpath_wildcard_parent_of_positional(spark, tmp_path):
+    """A wildcard parent of a positional step expands schema-side into
+    its concrete tags (round-6; previously a loud rejection)."""
     from morph_kgc_spark.sources.hierarchical import xml_source
 
     p = str(tmp_path / "w.xml")
     with open(p, "w") as f:
-        f.write("<a><x><b><c>1</c></b></x></a>")
-    with pytest.raises(ValueError, match="wildcard"):
-        xml_source(spark, p, iterator="/a/*/b[1]/c")
+        f.write("<a><x><b><c>1</c></b></x><y><b><c>2</c><c>3</c></b>"
+                "</y></a>")
+    df = xml_source(spark, p, iterator="/a/*/b[1]/c")
+    assert sorted(r["."] for r in df.collect()) == ["1", "2", "3"]
+
+
+def test_xml_xpath_wildcard_steps(spark, tmp_path):
+    """Wildcard steps anywhere in the chain, including the tail."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "wild.xml")
+    with open(p, "w") as f:
+        f.write("<cat><fiction><b><t>Dune</t></b></fiction>"
+                "<science><b><t>Cosmos</t></b></science></cat>")
+    # wildcard mid-chain: /cat/*/b ≡ both genres' books
+    df = xml_source(spark, p, iterator="/cat/*/b")
+    assert sorted(r["t"] for r in df.collect()) == ["Cosmos", "Dune"]
+    # wildcard TAIL: /cat/fiction/* ≡ fiction's children
+    df2 = xml_source(spark, p, iterator="/cat/fiction/*")
+    assert [r["t"] for r in df2.collect()] == ["Dune"]
+    # value predicate through a wildcard
+    df3 = xml_source(spark, p, iterator="/cat/*/b[text()='x']/t")
+    assert df3.count() == 0
+
+
+def test_xml_xpath_descendant_mid_chain(spark, tmp_path):
+    """Mid-chain // expands to every schema path reaching the name —
+    including a per-parent positional on the terminal step."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "deep.xml")
+    with open(p, "w") as f:
+        f.write("<lib><shelf><book>A</book><book>B</book>"
+                "<box><book>C</book></box></shelf></lib>")
+    df = xml_source(spark, p, iterator="/lib//book")
+    assert sorted(r["."] for r in df.collect()) == ["A", "B", "C"]
+    # //book[2]: 2nd book of EACH parent (shelf has one, box has none)
+    df2 = xml_source(spark, p, iterator="/lib//book[2]")
+    assert [r["."] for r in df2.collect()] == ["B"]
+    # named anchor then descendant: shelf//book
+    df3 = xml_source(spark, p, iterator="/lib/shelf//book[1]")
+    assert sorted(r["."] for r in df3.collect()) == ["A", "C"]
