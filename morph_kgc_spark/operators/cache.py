@@ -49,6 +49,11 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
 # the wrappers are still referenced).
 _OWNED_BY_HASH: dict[int, list] = {}  # hash -> list[weakref.ref[DataFrame]]
 
+# persisted-RDD ids at the last own()/release() look: the cheap change
+# detector that gates the per-entry liveness probe (ids disappearing =
+# blocks were dropped somewhere = stale registry entries possible)
+_LAST_RDD_IDS: set[int] = set()
+
 
 def _cache_entry_live(dep: DataFrame) -> bool:
     """True while the cache manager still holds an entry for ``dep``'s
@@ -68,6 +73,20 @@ def _sweep() -> None:
     for h in list(_OWNED_BY_HASH):
         bucket = [r for r in _OWNED_BY_HASH[h]
                   if r() is not None and _cache_entry_live(r())]
+        if bucket:
+            _OWNED_BY_HASH[h] = bucket
+        else:
+            _OWNED_BY_HASH.pop(h, None)
+
+
+def _sweep_dead() -> None:
+    """Prune only GC'd wrappers — no JVM calls. The liveness probe in
+    :func:`_sweep` is a CacheManager plan-comparison per entry, which on
+    the own() hot path made operator construction
+    O(live_entries x cached_entries) per call (round-6 review); dead-ref
+    pruning alone keeps own() O(registry) driver-side."""
+    for h in list(_OWNED_BY_HASH):
+        bucket = [r for r in _OWNED_BY_HASH[h] if r() is not None]
         if bucket:
             _OWNED_BY_HASH[h] = bucket
         else:
@@ -152,7 +171,22 @@ def own(result: DataFrame, intermediates: list[DataFrame]) -> DataFrame:
         owned.extend(getattr(dep, "_mkgc_owned", ()))
         owned.append(dep)
     result._mkgc_owned = owned
-    _sweep()
+    _sweep_dead()
+    # Full liveness-probe sweep only when some persisted-RDD id has
+    # DISAPPEARED since the last look (unpersist/clearCache dropped
+    # blocks — every registry entry is then suspect). During normal
+    # operation ids only accumulate between release() calls, so own()
+    # pays ONE getPersistentRDDs call instead of a CacheManager
+    # plan-comparison per live entry (round-6 review finding: the
+    # unconditional probe made own() O(live_entries x cached_entries)).
+    try:
+        ids = persistent_rdd_ids(result.sparkSession)
+        global _LAST_RDD_IDS
+        if _OWNED_BY_HASH and not (_LAST_RDD_IDS <= ids):
+            _sweep()
+        _LAST_RDD_IDS = ids
+    except Exception:
+        pass
     for dep in owned:
         try:
             h = int(dep._jdf.queryExecution().analyzed().semanticHash())
@@ -175,17 +209,30 @@ def release(df: DataFrame) -> None:
     session's own ``_jsc`` — and the hygiene test pins the behavior.)
     """
     has_attr = hasattr(df, "_mkgc_owned")
+    released_hashes: set[int] = set()
     for dep in getattr(df, "_mkgc_owned", ()):
+        try:
+            released_hashes.add(
+                int(dep._jdf.queryExecution().analyzed().semanticHash()))
+        except Exception:
+            pass
         _release_instance(dep)
     if has_attr:
         df._mkgc_owned = []
-    if not has_attr:
-        # derivative (fresh wrapper, attribute lost): drop ONE ownership
-        # instance per owned subtree found in THIS frame's plan.
+    if not has_attr or released_hashes:
+        # Registry pass: drop ONE ownership instance per owned subtree
+        # found in THIS frame's plan that the attribute pass did not
+        # already cover. Runs for derivatives (fresh wrapper, attribute
+        # lost) AND for re-owned derivatives — own(a.where(...), [dep2])
+        # loses a's chained dep list to the where(), so a's persisted
+        # intermediates are reachable only via the registry (round-6
+        # review finding). A frame whose attribute list was empty (e.g.
+        # already released once) skips this pass so a double release
+        # cannot steal a concurrent identical run's instance.
         try:
             in_plan = _plan_semantic_hashes(df)
             for h in list(_OWNED_BY_HASH):
-                if h in in_plan:
+                if h in in_plan and h not in released_hashes:
                     live = [r() for r in _OWNED_BY_HASH[h]
                             if r() is not None]
                     if live:
@@ -195,12 +242,18 @@ def release(df: DataFrame) -> None:
     _sweep()
     try:
         plan = df._jdf.queryExecution().analyzed()
-        if not plan.getClass().getName().endswith(".LogicalRDD"):
-            return
-        rdd_id = plan.rdd().id()
-        jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
-        for k in jmap.keySet().toArray():
-            if int(k) == rdd_id:
-                jmap.get(k).unpersist(False)
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            rdd_id = plan.rdd().id()
+            jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+            for k in jmap.keySet().toArray():
+                if int(k) == rdd_id:
+                    jmap.get(k).unpersist(False)
+    except Exception:
+        pass
+    try:
+        # re-baseline the change detector: this release's unpersists are
+        # accounted for, so the next own() skips the probe sweep
+        global _LAST_RDD_IDS
+        _LAST_RDD_IDS = persistent_rdd_ids(df.sparkSession)
     except Exception:
         pass

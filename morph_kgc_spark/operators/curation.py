@@ -51,9 +51,11 @@ def decontaminate(corpus: DataFrame, bench: DataFrame, id_col: str,
       for a single in-plan array but still broadcastable.
     """
     grams = shingle_arrays(corpus, id_col, text_col, n)
-    bench_sh = (shingles(bench, id_col, text_col, n)
-                .select("shingle").distinct())
+    bench_sh = shingles(bench, id_col, text_col, n).select("shingle")
     if broadcast_array:
+        # collect_set already deduplicates — a .distinct() here would
+        # add a second full aggregate+exchange over the benchmark
+        # shingle stream for nothing (round-6 review finding)
         bench_arr = bench_sh.agg(
             F.collect_set("shingle").alias("__bgrams"))
         out = (grams.join(F.broadcast(bench_arr))
@@ -64,7 +66,7 @@ def decontaminate(corpus: DataFrame, bench: DataFrame, id_col: str,
     else:
         posting = (grams.select(F.col(id_col),
                                 F.explode_outer("grams").alias("shingle")))
-        hit = posting.join(F.broadcast(bench_sh.withColumn(
+        hit = posting.join(F.broadcast(bench_sh.distinct().withColumn(
             "__hit", F.lit(1))), on="shingle", how="left")
         out = (hit.groupBy(id_col)
                .agg(F.sum(F.when(F.col("shingle").isNotNull(), 1)

@@ -436,7 +436,18 @@ def _descend_steps(df: DataFrame, steps: list[tuple],
                 return _nomatch(cur)
             out = branches[0]
             for b in branches[1:]:
-                out = out.unionByName(b, allowMissingColumns=True)
+                try:
+                    out = out.unionByName(b, allowMissingColumns=True)
+                except Exception as exc:
+                    # two branches can reach same-named columns with
+                    # incompatible types (e.g. <d>x</d> vs <d k="1">y</d>
+                    # → string vs struct); surface the module's loud
+                    # contract instead of Spark's union analysis error
+                    raise ValueError(
+                        f"wildcard/descendant expansion of {steps!r} "
+                        "reaches elements whose same-named columns have "
+                        "incompatible types across branches; narrow the "
+                        "iterator to one concrete path") from exc
             return out
         if not in_node:
             dtypes = {f.name: f.dataType for f in cur.schema.fields}
@@ -583,6 +594,19 @@ def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
 
         if not pred_idx:
             named_idx = [i for i, s in enumerate(steps) if s[0] is not None]
+            # The rowTag shortcut (scan at the deepest named step, which
+            # matches at any depth — the documented approximation for
+            # plain named chains) is only taken when every step up to
+            # that deepest named one is named and non-descendant (a
+            # leading '//' on step 0 is fine: "any depth" IS its
+            # semantics). A mid-chain '//' or '*' before the deepest
+            # named step changes which node-set is selected, so those
+            # chains take the exact schema-side branch expansion —
+            # otherwise '/lib/shelf//book' and '/lib/shelf//book[1]'
+            # would silently select from different node-sets.
+            prefix_simple = bool(named_idx) and all(
+                s[0] is not None and (i == 0 or not s[2])
+                for i, s in enumerate(steps[:named_idx[-1] + 1]))
             if not named_idx:
                 # pure wildcard chains: '/*' is the root element itself,
                 # '/*/*' its grandchildren; '//*' could address the root
@@ -591,6 +615,10 @@ def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
                         f"descendant wildcard with no named step in "
                         f"{iterator!r} is unsupported (may address the "
                         "document root itself)")
+                df = _root_descend()
+            elif not prefix_simple:
+                # mid-chain descendant/wildcard: exact navigation from
+                # the document root (branch expansion in _descend_steps)
                 df = _root_descend()
             elif named_idx[-1] == len(steps) - 1:
                 # ends in a named step: distributed rowTag scan at the

@@ -208,17 +208,32 @@ class SourceRegistry:
 _PARQUET_SCHEMAS: dict = {}
 
 
+def _schema_cache_key(path: str) -> str:
+    """Canonical cache key: equivalent spellings of one location (a
+    trailing slash, a ``file://`` prefix, a symlink) must hit — and
+    invalidate — the same entry (round-6 review: a raw-string key made
+    ``invalidate_parquet_schema_cache('/data/t/')`` silently miss the
+    entry pinned under ``'/data/t'``)."""
+    p = path.strip()
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    if "://" in p:
+        return p.rstrip("/")  # remote URI: no local fs to resolve
+    return os.path.realpath(p)
+
+
 def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` with a process-level schema cache: the
     first read of a path infers the schema from footers; later reads
     pass it explicitly, skipping inference (file listing still runs, so
     new PARTITIONS under the path are picked up — only the schema is
     pinned)."""
-    schema = _PARQUET_SCHEMAS.get(path)
+    key = _schema_cache_key(path)
+    schema = _PARQUET_SCHEMAS.get(key)
     if schema is not None:
         return spark.read.schema(schema).parquet(path)
     df = spark.read.parquet(path)
-    _PARQUET_SCHEMAS[path] = df.schema
+    _PARQUET_SCHEMAS[key] = df.schema
     return df
 
 
@@ -235,7 +250,7 @@ def invalidate_parquet_schema_cache(path: str | None = None) -> None:
     if path is None:
         _PARQUET_SCHEMAS.clear()
     else:
-        _PARQUET_SCHEMAS.pop(path, None)
+        _PARQUET_SCHEMAS.pop(_schema_cache_key(path), None)
 
 
 def _sniff_csv_delimiter(path: str) -> str | None:

@@ -149,6 +149,29 @@ def test_release_of_filtered_pipeline_output_is_clean(spark):
         "release(filtered pipeline output) must leave the session clean"
 
 
+def test_release_of_reowned_derivative_frees_chained_persists(spark):
+    """Round-6 review finding: own(a.where(...), [dep2]) loses a's
+    chained dep list to the where(), so releasing the re-owned frame
+    must ALSO walk the registry for owned subtrees in its plan — the
+    attribute pass alone leaves a's corpus-sized persists live."""
+    from morph_kgc_spark.operators.cache import own
+
+    before = persistent_rdd_ids(spark)
+    docs = _docs(spark)
+    a = D.ngram_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=3,
+                             lazy=True)  # hot path: owns persisted dfreq
+    a.count()
+    assert persistent_rdd_ids(spark) - before, \
+        "sanity: dfreq persist should be live"
+    extra = docs.select("doc_id").persist()
+    b = own(a.where("jaccard >= 0"), [extra])  # where() drops a's deps
+    b.count()
+    release(b)
+    assert persistent_rdd_ids(spark) - before == set(), \
+        "release(re-owned derivative) must free deps chained before the " \
+        "transformation"
+
+
 def test_release_scoped_per_ownership_instance(spark):
     """Round-6 advice (cache.py:441): two concurrent identical lazy runs
     share one plan-keyed cache entry; releasing ONE of them must not

@@ -466,3 +466,56 @@ def test_xml_xpath_descendant_mid_chain(spark, tmp_path):
     # named anchor then descendant: shelf//book
     df3 = xml_source(spark, p, iterator="/lib/shelf//book[1]")
     assert sorted(r["."] for r in df3.collect()) == ["A", "C"]
+
+
+def test_xml_xpath_descendant_respects_prefix(spark, tmp_path):
+    """A pred-free mid-chain '//' must select from the SAME node-set as
+    its predicated twin — the any-depth rowTag shortcut is only valid
+    for plain named chains (round-6 review finding: '/lib/shelf//book'
+    previously scanned rowTag 'book' anywhere, returning nodes outside
+    /lib/shelf that '/lib/shelf//book[1]' correctly excluded)."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "pfx.xml")
+    with open(p, "w") as f:
+        f.write("<lib><shelf><book>A</book></shelf>"
+                "<archive><box><book>B</book></box></archive></lib>")
+    df = xml_source(spark, p, iterator="/lib/shelf//book")
+    assert sorted(r["."] for r in df.collect()) == ["A"]
+    # relative spelling with a mid-chain descendant: same exact node-set
+    df2 = xml_source(spark, p, iterator="shelf//book")
+    assert sorted(r["."] for r in df2.collect()) == ["A"]
+    # wildcard before the deepest named step is exact too
+    df3 = xml_source(spark, p, iterator="/lib/*/book")
+    assert sorted(r["."] for r in df3.collect()) == ["A"]
+
+
+def test_xml_xpath_branch_type_conflict_is_loud(spark, tmp_path):
+    """Branch expansion reaching same-named columns of incompatible
+    types (string text vs attribute struct) raises the module's loud
+    ValueError, not Spark's union analysis error (round-6 review)."""
+    from morph_kgc_spark.sources.hierarchical import xml_source
+
+    p = str(tmp_path / "conflict.xml")
+    with open(p, "w") as f:
+        f.write('<root><a><item><d>x</d></item></a>'
+                '<b><item><d k="1">y</d></item></b></root>')
+    with pytest.raises(ValueError, match="incompatible types"):
+        xml_source(spark, p, iterator="/root/*/item").collect()
+
+
+def test_parquet_schema_cache_key_normalization(spark):
+    """Equivalent path spellings (trailing slash, file:// prefix) hit —
+    and invalidate — one cache entry (round-6 review: raw-string keys
+    made invalidate('/p/') silently miss the entry for '/p')."""
+    from morph_kgc_spark.sources import registry as R
+
+    path = "/root/testdata/sf0.001/customer.parquet"
+    R.invalidate_parquet_schema_cache()
+    R.read_parquet_cached_schema(spark, path)
+    key = R._schema_cache_key(path)
+    assert key in R._PARQUET_SCHEMAS
+    assert R._schema_cache_key(path + "/") == key
+    assert R._schema_cache_key("file://" + path) == key
+    R.invalidate_parquet_schema_cache(path + "/")  # variant spelling
+    assert key not in R._PARQUET_SCHEMAS
