@@ -601,6 +601,28 @@ def q_llm_sample_stratified(spark, sf_dir):
                              default_rate=0.5, salt="r6")
 
 
+def q_web_url_dedup(spark, sf_dir):
+    """URL-level exact dedup — the FIRST stage of a crawl curation
+    pipeline: canonicalize (case/ports/www/dot-segments/tracking
+    params/param order) then ONE hash-aggregate on the canonical form.
+    Synthetic messy urls derive deterministically from doc_id via the
+    same dual-dialect SQL template the DuckDB oracle renders."""
+    from morph_kgc_spark.operators.weburl import synth_urls, url_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return url_dedup(synth_urls(docs, "doc_id"), "doc_id")
+
+
+def q_web_domain_stats(spark, sf_dir):
+    """Registered-domain crawl accounting over canonicalized urls:
+    (domain, n_urls, n_pages) in one hash-aggregate with a partial
+    distinct — zero Python, whole-stage codegen throughout."""
+    from morph_kgc_spark.operators.weburl import domain_stats, synth_urls
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return domain_stats(synth_urls(docs, "doc_id"), "doc_id")
+
+
 def q_multimodal_decode_stats(spark, sf_dir):
     """Multimodal image path end-to-end under the oracle: synthesize a
     REAL P6-PPM binary per document (mapInPandas encode), decode it with
@@ -799,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": q_text_repetition_stats,
         "llm_decontaminate": q_llm_decontaminate,
         "llm_sample_stratified": q_llm_sample_stratified,
+        "web_url_dedup": q_web_url_dedup,
+        "web_domain_stats": q_web_domain_stats,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "events_sessionize": q_events_sessionize,
@@ -853,6 +877,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_decontaminate": oracles.llm_decontaminate(),
         "llm_sample_stratified": oracles.llm_sample_stratified(
             _SAMPLE_RATES, 0.5, "r6"),
+        "web_url_dedup": oracles.web_url_dedup(),
+        "web_domain_stats": oracles.web_domain_stats(),
         "multimodal_decode_stats": oracles.multimodal_decode_stats(),
         "audio_decode_stats": oracles.audio_decode_stats(),
         "events_sessionize": oracles.events_sessionize(),

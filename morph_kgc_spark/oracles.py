@@ -1170,3 +1170,41 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 """
+
+
+def web_url_dedup() -> str:
+    """Twin of weburl.url_dedup over urls synthesized from doc_id: the
+    synthesis AND the canonicalization render the SAME dual-dialect
+    template as the Spark side (weburl.synth_url_sql /
+    canonical_url_sql), so the replay is bit-exact by construction."""
+    from morph_kgc_spark.operators.weburl import (canonical_url_sql,
+                                                  synth_url_sql)
+
+    synth = synth_url_sql("duckdb", "doc_id")
+    canon = canonical_url_sql("duckdb", "url")
+    return f"""
+WITH urls AS (SELECT doc_id, {synth} AS url FROM documents),
+canon AS (SELECT doc_id, {canon} AS canonical_url FROM urls)
+SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM canon GROUP BY canonical_url
+"""
+
+
+def web_domain_stats() -> str:
+    """Twin of weburl.domain_stats (registered-domain accounting over
+    canonicalized synthetic urls)."""
+    from morph_kgc_spark.operators.weburl import (canonical_url_sql,
+                                                  domain_sql,
+                                                  synth_url_sql)
+
+    synth = synth_url_sql("duckdb", "doc_id")
+    canon = canonical_url_sql("duckdb", "url")
+    dom = domain_sql("duckdb", "canonical_url")
+    return f"""
+WITH urls AS (SELECT doc_id, {synth} AS url FROM documents),
+canon AS (SELECT doc_id, {canon} AS canonical_url FROM urls),
+dom AS (SELECT doc_id, canonical_url, {dom} AS domain FROM canon)
+SELECT domain, count(*) AS n_urls,
+       count(DISTINCT canonical_url) AS n_pages
+FROM dom GROUP BY domain
+"""
