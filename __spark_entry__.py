@@ -623,6 +623,38 @@ def q_web_domain_stats(spark, sf_dir):
     return domain_stats(synth_urls(docs, "doc_id"), "doc_id")
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation COMPOSITION — the operators chained the way a
+    training-data pipeline runs them: URL-level dedup (keep min id per
+    canonical URL) -> exact text dedup among survivors -> token-count
+    quality gate -> benchmark decontamination (corpus side broadcast-
+    scrubbed, never shuffled) -> deterministic hash-gated sample.
+    Survivor joins are left_semi on the id (shuffle hash joins at
+    scale); every per-doc flag is a narrow projection."""
+    from morph_kgc_spark.operators.curation import (decontaminate,
+                                                    sample_deterministic)
+    from morph_kgc_spark.operators.dedup import exact_dedup
+    from morph_kgc_spark.operators.text import token_count
+    from morph_kgc_spark.operators.weburl import synth_urls, url_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    keep_url = (url_dedup(synth_urls(docs.select("doc_id"), "doc_id"),
+                          "doc_id")
+                .select(F.col("keep_id").alias("doc_id")))
+    d1 = docs.join(keep_url, "doc_id", "left_semi")
+    keep_text = (exact_dedup(d1, "doc_id", "text")
+                 .select(F.col("keep_id").alias("doc_id")))
+    d2 = d1.join(keep_text, "doc_id", "left_semi")
+    d3 = d2.where(token_count(F.col("text")) >= 20)
+    corpus = d3.where(F.col("doc_id") % 20 != 7)
+    bench = docs.where(F.col("doc_id") % 20 == 7)
+    flags = decontaminate(corpus, bench, "doc_id", "text", n=3, min_hit=5)
+    clean = flags.where(~F.col("contaminated")).select("doc_id")
+    d4 = corpus.join(clean, "doc_id", "left_semi")
+    out = sample_deterministic(d4, "doc_id", 0.7, salt="pipe")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_multimodal_decode_stats(spark, sf_dir):
     """Multimodal image path end-to-end under the oracle: synthesize a
     REAL P6-PPM binary per document (mapInPandas encode), decode it with
@@ -823,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_sample_stratified": q_llm_sample_stratified,
         "web_url_dedup": q_web_url_dedup,
         "web_domain_stats": q_web_domain_stats,
+        "curation_pipeline": q_curation_pipeline,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "events_sessionize": q_events_sessionize,
@@ -879,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
             _SAMPLE_RATES, 0.5, "r6"),
         "web_url_dedup": oracles.web_url_dedup(),
         "web_domain_stats": oracles.web_domain_stats(),
+        "curation_pipeline": oracles.curation_pipeline(),
         "multimodal_decode_stats": oracles.multimodal_decode_stats(),
         "audio_decode_stats": oracles.audio_decode_stats(),
         "events_sessionize": oracles.events_sessionize(),

@@ -1208,3 +1208,43 @@ SELECT domain, count(*) AS n_urls,
        count(DISTINCT canonical_url) AS n_pages
 FROM dom GROUP BY domain
 """
+
+
+def curation_pipeline(min_tokens: int = 20, n: int = 3, min_hit: int = 5,
+                      rate: float = 0.7, salt: str = "pipe") -> str:
+    """Twin of the COMPOSED curation pipeline query (q_curation_pipeline):
+    URL-level dedup -> exact text dedup -> token-count gate ->
+    benchmark decontamination -> deterministic sample. Stage order
+    matters for the dedup keepers (min-id among the docs still present),
+    so the first two stages chain; the per-doc flags (token count,
+    contamination, sample bucket) are pure functions of the doc and are
+    computed over the full table then joined — same results, simpler
+    SQL."""
+    from morph_kgc_spark.operators.weburl import (canonical_url_sql,
+                                                  synth_url_sql)
+
+    synth = synth_url_sql("duckdb", "doc_id")
+    canon = canonical_url_sql("duckdb", "url")
+    return f"""
+WITH urls AS (SELECT doc_id, {synth} AS url FROM documents),
+urld AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, {canon} AS c FROM urls) GROUP BY c),
+d1 AS (SELECT d.* FROM documents d JOIN urld USING (doc_id)),
+exd AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY md5(text)),
+d2 AS (SELECT d1.* FROM d1 JOIN exd USING (doc_id)),
+d3 AS (SELECT * FROM d2 WHERE len({_TOKENS}) >= {min_tokens}),
+corpus AS (SELECT * FROM d3 WHERE doc_id % 20 <> 7),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 7),
+{_shingles_cte_over('corpus', 'c', n)},
+{_shingles_cte_over('bench', 'b', n)},
+bset AS (SELECT DISTINCT shingle FROM bsh),
+hits AS (
+  SELECT c.doc_id, count(b.shingle) AS n_hit
+  FROM csh c LEFT JOIN bset b USING (shingle)
+  GROUP BY c.doc_id)
+SELECT doc_id, lang, source, n_chars
+FROM corpus LEFT JOIN hits USING (doc_id)
+WHERE COALESCE(n_hit, 0) < {min_hit}
+  AND {_sample_bucket_sql(salt)} < {int(rate * 1_000_000)}
+"""

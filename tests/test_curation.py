@@ -131,3 +131,38 @@ class TestDeterministicSampling:
             sample_stratified(df, "doc_id", "doc_id", {"x": -0.1})
         with pytest.raises(ValueError):
             sample_stratified(df, "doc_id", "doc_id", {}, default_rate=2.0)
+
+
+class TestCurationPipeline:
+    """The composed pipeline query (q_curation_pipeline) — stage
+    invariants on real testdata; engine-vs-engine equality is the
+    driver's curation_pipeline correctness row."""
+
+    def test_pipeline_invariants(self, spark):
+        import __spark_entry__ as entrymod
+
+        sf = "/root/testdata/sf0.001"
+        out = entrymod.queries()["curation_pipeline"](spark, sf)
+        rows = out.collect()
+        assert rows, "pipeline must keep some documents"
+        ids = [r.doc_id for r in rows]
+        # benchmark-split docs never survive into the training corpus
+        assert all(i % 20 != 7 for i in ids)
+        # no duplicate surviving ids
+        assert len(ids) == len(set(ids))
+        # survivors carry no exact-duplicate texts
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        surv = docs.join(out.select("doc_id"), "doc_id", "left_semi")
+        n_texts = surv.select("text").distinct().count()
+        assert n_texts == len(ids)
+        # deterministic: a rebuilt plan returns the identical set
+        again = entrymod.queries()["curation_pipeline"](spark, sf)
+        assert sorted(ids) == sorted(r.doc_id for r in again.collect())
+
+    def test_pipeline_is_jvm_only(self, spark):
+        import __spark_entry__ as entrymod
+
+        plan = (entrymod.queries()["curation_pipeline"](
+                    spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
