@@ -75,6 +75,24 @@ def wait_for_quiet_host(threshold: float = 2.0, budget_sec: float = 150.0):
     return initial, os.getloadavg(), load1 <= threshold
 
 
+def cpu_spin_sec() -> float:
+    """Single-core reference workload (20M-iteration python loop).
+
+    Round-6 lesson: this host's effective CPU speed swings ~2.5x with
+    ZERO change in load average, steal time, or /proc frequency (the VM
+    reports a fixed 2100 MHz) — the physical host's frequency/contention
+    state is invisible to every standard metric.  A fixed spin timed at
+    capture start/end turns that hidden state into a disclosed number:
+    ~0.9-1.0 s is this box's fast state, ~2-2.5 s the degraded state.
+    Compare spin_sec across BENCH artifacts before comparing queries.
+    """
+    t0 = time.time()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -84,6 +102,7 @@ def main() -> None:
 
     load_initial, load_start, load_ok = wait_for_quiet_host()
     started_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    spin_start = cpu_spin_sec()
 
     spark = build_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -205,6 +224,11 @@ def main() -> None:
         "load_start": [round(x, 2) for x in load_start],
         "load_end": [round(x, 2) for x in load_end],
         "load_ok": load_ok,
+        # hidden-host-state disclosure (see cpu_spin_sec docstring):
+        # ~0.9-1.0 s = fast state, ~2-2.5 s = degraded; numbers captured
+        # in different spin states are not comparable query-by-query
+        "spin_sec_start": spin_start,
+        "spin_sec_end": cpu_spin_sec(),
         "trials": trials,
     }
     print(json.dumps(result))
