@@ -655,6 +655,29 @@ def q_curation_pipeline(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_llm_chunk_documents(spark, sf_dir):
+    """Context-window chunking: fixed token windows with overlap, pure
+    per-row array work (tokenize once in a projection, explode_outer
+    the window starts, slice+join per window) — zero shuffle."""
+    from morph_kgc_spark.operators.packing import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text",
+                           chunk_tokens=40, overlap=8)
+
+
+def q_llm_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing: offset packing within h64 shards
+    (one window exchange; bins reproducible under any partitioning —
+    the scalable alternative to a global greedy scan)."""
+    from morph_kgc_spark.operators.packing import pack_sequences
+    from morph_kgc_spark.operators.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", token_count(F.col("text")),
+                          max_tokens=512, n_shards=16)
+
+
 def q_multimodal_decode_stats(spark, sf_dir):
     """Multimodal image path end-to-end under the oracle: synthesize a
     REAL P6-PPM binary per document (mapInPandas encode), decode it with
@@ -856,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": q_web_url_dedup,
         "web_domain_stats": q_web_domain_stats,
         "curation_pipeline": q_curation_pipeline,
+        "llm_chunk_documents": q_llm_chunk_documents,
+        "llm_pack_sequences": q_llm_pack_sequences,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "events_sessionize": q_events_sessionize,
@@ -913,6 +938,8 @@ def oracle_sql() -> dict[str, str]:
         "web_url_dedup": oracles.web_url_dedup(),
         "web_domain_stats": oracles.web_domain_stats(),
         "curation_pipeline": oracles.curation_pipeline(),
+        "llm_chunk_documents": oracles.llm_chunk_documents(),
+        "llm_pack_sequences": oracles.llm_pack_sequences(),
         "multimodal_decode_stats": oracles.multimodal_decode_stats(),
         "audio_decode_stats": oracles.audio_decode_stats(),
         "events_sessionize": oracles.events_sessionize(),

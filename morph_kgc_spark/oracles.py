@@ -1248,3 +1248,48 @@ FROM corpus LEFT JOIN hits USING (doc_id)
 WHERE COALESCE(n_hit, 0) < {min_hit}
   AND {_sample_bucket_sql(salt)} < {int(rate * 1_000_000)}
 """
+
+
+def llm_chunk_documents(chunk_tokens: int = 40, overlap: int = 8) -> str:
+    """Twin of operators/packing.chunk_documents: window k starts at
+    token 1 + k*(chunk_tokens-overlap); chunk_idx recovered as
+    (start-1) // step (the starts are an arithmetic sequence, so no
+    WITH ORDINALITY is needed)."""
+    step = chunk_tokens - overlap
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t), 1), {step})) AS s
+  FROM toks)
+SELECT doc_id,
+       CAST((s - 1) // {step} AS INT) AS chunk_idx,
+       CAST(len(list_slice(t, s, s + {chunk_tokens} - 1)) AS INT)
+         AS chunk_n_tokens,
+       array_to_string(list_slice(t, s, s + {chunk_tokens} - 1), ' ')
+         AS chunk_text
+FROM starts
+"""
+
+
+def llm_pack_sequences(max_tokens: int = 512, n_shards: int = 16) -> str:
+    """Twin of operators/packing.pack_sequences over whitespace token
+    counts of the documents table (offset packing within h64 shards)."""
+    h = h64_sql("'shard|' || CAST(doc_id AS VARCHAR)")
+    shard = f"({h} % {n_shards})"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKENS}) AS BIGINT) AS tc,
+         {shard} AS shard
+  FROM documents),
+ofs AS (
+  SELECT doc_id, shard, tc,
+         sum(tc) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - tc AS bin_start_offset
+  FROM base)
+SELECT doc_id, shard,
+       CAST(bin_start_offset // {max_tokens} AS BIGINT) AS bin_idx,
+       CAST(bin_start_offset AS BIGINT) AS bin_start_offset
+FROM ofs
+"""
