@@ -159,3 +159,27 @@ def windowed_triple_counts(triples_with_time: DataFrame,
         .agg(F.count("*").alias("n_triples"))
         .select(F.col("w.start").alias("window_start"), "predicate", "n_triples")
     )
+
+
+def stream_url_dedup(pages_stream: DataFrame, url_col: str = "url",
+                     time_col: str = "warc_ts",
+                     watermark: str = "1 hour") -> DataFrame:
+    """Streaming URL-level dedup: the crawl-frontier front gate.
+
+    Canonicalizes ``url_col`` (the batch Column expression applies
+    unchanged — it is stateless per-row) and keeps the FIRST page per
+    canonical URL within the watermark horizon via
+    ``dropDuplicatesWithinWatermark``. State is bounded by the
+    watermark: a canonical URL's dedup key expires once the event-time
+    watermark passes it, which matches crawl semantics (a recrawl
+    outside the horizon is a legitimate refresh, not a duplicate).
+    Batch twin: ``operators.weburl.url_dedup`` (keep-min-id) — the
+    streaming variant keeps first-arrival instead, the only determinism
+    available over an unbounded stream.
+    """
+    from morph_kgc_spark.operators.weburl import canonicalize_urls
+
+    canon = canonicalize_urls(pages_stream, url_col)
+    return (canon
+            .withWatermark(time_col, watermark)
+            .dropDuplicatesWithinWatermark(["canonical_url"]))

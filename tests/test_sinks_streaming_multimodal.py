@@ -332,3 +332,32 @@ def test_streaming_web_pipeline_e2e(spark, tmp_path):
     spark.createDataFrame(b0_rows, b0.schema).write.mode("overwrite") \
         .parquet(f"{out}/batch_id=0")
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_streaming_url_dedup(spark, tmp_path):
+    """stream_url_dedup keeps one page per canonical URL within the
+    watermark horizon — two mess-variant spellings of one page collapse
+    while distinct pages survive (input-table shape per BASELINE.json:
+    url string + warc_ts timestamp)."""
+    import datetime as dt
+
+    from morph_kgc_spark.streaming.pipeline import stream_url_dedup
+
+    src = str(tmp_path / "pages_src")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [("HTTP://WWW.Example.COM:80/a/?utm_source=x", t0),
+         ("http://example.com/a", t0 + dt.timedelta(minutes=1)),
+         ("https://other.org/b", t0 + dt.timedelta(minutes=2))],
+        "url string, warc_ts timestamp").write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp").parquet(src)
+    out = stream_url_dedup(stream)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("url_dedup_mem")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = {r.canonical_url
+            for r in spark.sql("select * from url_dedup_mem").collect()}
+    assert rows == {"http://example.com/a", "https://other.org/b"}
