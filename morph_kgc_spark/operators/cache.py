@@ -93,7 +93,7 @@ def _sweep_dead() -> None:
             _OWNED_BY_HASH.pop(h, None)
 
 
-def _release_instance(dep: DataFrame) -> None:
+def _release_instance(dep: DataFrame, h: int | None = None) -> None:
     """Drop ONE ownership instance of ``dep``; unpersist only when it
     was the LAST registered instance for its plan hash.
 
@@ -104,14 +104,15 @@ def _release_instance(dep: DataFrame) -> None:
     of two concurrent identical runs must NOT force the other to
     recompute (round-6 advice, cache.py:441).
     """
-    try:
-        h = int(dep._jdf.queryExecution().analyzed().semanticHash())
-    except Exception:
+    if h is None:
         try:
-            dep.unpersist()
+            h = int(dep._jdf.queryExecution().analyzed().semanticHash())
         except Exception:
-            pass
-        return
+            try:
+                dep.unpersist()
+            except Exception:
+                pass
+            return
     bucket = [r for r in _OWNED_BY_HASH.get(h, []) if r() is not None]
     if any(r() is dep for r in bucket):
         bucket = [r for r in bucket if r() is not dep]
@@ -207,16 +208,31 @@ def release(df: DataFrame) -> None:
     (PySpark has no public unpersist for checkpointed frames; the JVM
     handles here are stable internals — same class of access as the
     session's own ``_jsc`` — and the hygiene test pins the behavior.)
+
+    CONTAINMENT SEMANTICS (the contract, stated because the two cases
+    are structurally indistinguishable): releasing a frame releases one
+    ownership instance of EVERY owned subtree found in its analyzed
+    plan — including subtrees chained into an ancestor before a
+    transformation dropped the attribute (``release(own(a.where(...),
+    [dep2]))`` frees a's persists too, the round-6 leak fix). The flip
+    side: if you derive ``c`` from a still-live owning frame ``a`` and
+    release ``c``, a's instance is taken and a recomputes on next use.
+    Keep ``a`` alive by releasing only frames that do not contain it,
+    or by re-owning: ``own(c, [a])`` chains a's deps so each release
+    accounting stays explicit. Concurrent IDENTICAL runs remain safe
+    either way — each own() registered its own instance and the real
+    unpersist waits for the last one.
     """
     has_attr = hasattr(df, "_mkgc_owned")
     released_hashes: set[int] = set()
     for dep in getattr(df, "_mkgc_owned", ()):
+        h = None
         try:
-            released_hashes.add(
-                int(dep._jdf.queryExecution().analyzed().semanticHash()))
+            h = int(dep._jdf.queryExecution().analyzed().semanticHash())
+            released_hashes.add(h)
         except Exception:
             pass
-        _release_instance(dep)
+        _release_instance(dep, h)
     if has_attr:
         df._mkgc_owned = []
     if not has_attr or released_hashes:

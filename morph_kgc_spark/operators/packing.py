@@ -42,9 +42,13 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     """(id, chunk_idx, chunk_tokens, chunk_text): fixed token windows.
 
     Window k starts at token ``1 + k*(chunk_tokens - overlap)``
-    (1-based); the last window may be short. Empty/whitespace-only
-    documents produce one empty chunk (chunk_idx 0) so no document
-    silently disappears from the corpus.
+    (1-based); the last window may be short. Starts stop at
+    ``n - overlap`` so no window is PURE overlap (a start past that
+    bound covers only tokens the previous window already emitted —
+    duplicated training text; round-6 review finding); the last kept
+    start still reaches token n, so coverage is complete.
+    Empty/whitespace-only documents produce one empty chunk (chunk_idx
+    0) so no document silently disappears from the corpus.
     """
     if overlap >= chunk_tokens:
         raise ValueError(
@@ -54,8 +58,10 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     toks = _parallelize_narrow(
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t")))
     toks = toks.withColumn("__n", F.size("__t"))
-    starts = F.sequence(F.lit(1), F.greatest(F.col("__n"), F.lit(1)),
-                        F.lit(step))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("__n") - F.lit(overlap), F.lit(1)),
+        F.lit(step))
     rows = toks.select(
         F.col(id_col), F.col("__t"),
         F.posexplode_outer(starts).alias("chunk_idx", "__s"))

@@ -141,7 +141,10 @@ def canonical_url_sql(dialect: str, url: str) -> str:
             f"WHEN {path} <> '/' AND substring({path}, length({path}), 1) "
             f"= '/' THEN substring({path}, 1, length({path}) - 1) "
             f"ELSE {path} END)")
-    query = f"coalesce(regexp_extract(({url}), '[?]([^#]*)', 1), '')"
+    # query comes from the FRAGMENT-STRIPPED u, not the original url —
+    # an SPA-style '#/route?tab=1' fragment must not invent a query
+    # (round-6 review finding, verified by execution)
+    query = f"coalesce(regexp_extract({u}, '[?](.*)', 1), '')"
     keep = (f"x -> NOT (x = '' OR "
             + " OR ".join(
                 [f"substring(x, 1, {len(p)}) = '{p}'"
@@ -150,7 +153,10 @@ def canonical_url_sql(dialect: str, url: str) -> str:
                    for p in _TRACKING_PARAMS])
             + ")")
     params = f["sort"](f["filter"](f["split"](query, "&"), keep))
-    qjoin = f["join"](params, "&")
+    # DuckDB's array_to_string([], '&') is NULL where Spark's
+    # array_join returns '' — coalesce or the whole canonical URL goes
+    # NULL for any query-less input (round-6 review finding)
+    qjoin = f"coalesce({f['join'](params, '&')}, '')"
     qfinal = f"(CASE WHEN {qjoin} = '' THEN '' ELSE '?' || {qjoin} END)"
     return f"({scheme} || '://' || {host} || {path} || {qfinal})"
 

@@ -1260,7 +1260,8 @@ def llm_chunk_documents(chunk_tokens: int = 40, overlap: int = 8) -> str:
 WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
 starts AS (
   SELECT doc_id, t,
-         unnest(generate_series(1, greatest(len(t), 1), {step})) AS s
+         unnest(generate_series(1, greatest(len(t) - {overlap}, 1),
+                                {step})) AS s
   FROM toks)
 SELECT doc_id,
        CAST((s - 1) // {step} AS INT) AS chunk_idx,

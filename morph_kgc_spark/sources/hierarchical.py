@@ -434,11 +434,13 @@ def _descend_steps(df: DataFrame, steps: list[tuple],
                     branches.append(b)
             if not branches:
                 return _nomatch(cur)
+            from pyspark.errors import AnalysisException
+
             out = branches[0]
             for b in branches[1:]:
                 try:
                     out = out.unionByName(b, allowMissingColumns=True)
-                except Exception as exc:
+                except AnalysisException as exc:
                     # two branches can reach same-named columns with
                     # incompatible types (e.g. <d>x</d> vs <d k="1">y</d>
                     # → string vs struct); surface the module's loud
@@ -597,15 +599,18 @@ def xml_source(spark: SparkSession, path: str, row_tag: str | None = None,
             # The rowTag shortcut (scan at the deepest named step, which
             # matches at any depth — the documented approximation for
             # plain named chains) is only taken when every step up to
-            # that deepest named one is named and non-descendant (a
-            # leading '//' on step 0 is fine: "any depth" IS its
-            # semantics). A mid-chain '//' or '*' before the deepest
-            # named step changes which node-set is selected, so those
-            # chains take the exact schema-side branch expansion —
-            # otherwise '/lib/shelf//book' and '/lib/shelf//book[1]'
-            # would silently select from different node-sets.
+            # that deepest named one is named and non-descendant. A
+            # leading '//' is exempt ONLY when step 0 IS the deepest
+            # named step (bare '//book': any-depth is exactly its
+            # semantics) — '//shelf/book' must branch-expand or it
+            # would select books outside shelves while its predicated
+            # twin '//shelf/book[1]' selects correctly (round-6 review,
+            # second pass). Any mid-chain '//' or '*' before the
+            # deepest named step likewise takes the exact schema-side
+            # branch expansion.
             prefix_simple = bool(named_idx) and all(
-                s[0] is not None and (i == 0 or not s[2])
+                s[0] is not None
+                and (not s[2] or (i == 0 and named_idx[-1] == 0))
                 for i, s in enumerate(steps[:named_idx[-1] + 1]))
             if not named_idx:
                 # pure wildcard chains: '/*' is the root element itself,

@@ -215,10 +215,15 @@ def _schema_cache_key(path: str) -> str:
     ``invalidate_parquet_schema_cache('/data/t/')`` silently miss the
     entry pinned under ``'/data/t'``)."""
     p = path.strip()
-    if p.startswith("file://"):
-        p = p[len("file://"):]
-    if "://" in p:
-        return p.rstrip("/")  # remote URI: no local fs to resolve
+    if p.startswith("file:"):
+        # both URI spellings reach here: 'file:///x' / 'file:/x'
+        # (Hadoop itself emits the single-slash form); 'file://host/x'
+        # authority forms keep the host and fall through to rstrip
+        p = p[len("file:"):]
+        if p.startswith("//") and (len(p) == 2 or p[2] == "/"):
+            p = p[2:]
+    if "://" in p or not p.startswith("/"):
+        return p.rstrip("/")  # remote URI / authority form: no local fs
     return os.path.realpath(p)
 
 

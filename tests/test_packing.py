@@ -10,7 +10,8 @@ from morph_kgc_spark.operators.packing import chunk_documents, pack_sequences
 
 def test_chunk_fixture(spark):
     """Hand-computed windows: 10 tokens, chunk 4, overlap 1 → starts
-    1,4,7,10 (step 3)."""
+    1,4,7 (step 3; a start at 10 would be PURE overlap — its only
+    token t10 is already in chunk 2 — and is not emitted)."""
     text = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
     df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
     out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
@@ -20,8 +21,19 @@ def test_chunk_fixture(spark):
         0: (4, "t1 t2 t3 t4"),
         1: (4, "t4 t5 t6 t7"),
         2: (4, "t7 t8 t9 t10"),
-        3: (1, "t10"),
     }
+
+
+def test_chunk_no_pure_overlap_windows(spark):
+    """Every chunk after the first contributes at least one NEW token
+    (round-6 review: a tail start inside the overlap region duplicated
+    training text), and every token is still covered."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = chunk_documents(docs, "doc_id", "text",
+                          chunk_tokens=20, overlap=5)
+    bad = out.where((F.col("chunk_idx") > 0)
+                    & (F.col("chunk_n_tokens") <= 5)).count()
+    assert bad == 0
 
 
 def test_chunk_overlap_consistency(spark):
