@@ -655,6 +655,18 @@ def q_curation_pipeline(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_llm_repeated_passages(spark, sf_dir):
+    """CCNet-style within-document boilerplate removal: corpus-frequent
+    token tiles dropped from every document, survivors reassembled in
+    order (hashed). One tile-count aggregate + broadcast hot set + one
+    per-document groupBy; every document survives, even fully-hot ones."""
+    from morph_kgc_spark.operators.curation import remove_repeated_passages
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_repeated_passages(docs, "doc_id", "text",
+                                    tile_tokens=10, max_df=2)
+
+
 def q_llm_chunk_documents(spark, sf_dir):
     """Context-window chunking: fixed token windows with overlap, pure
     per-row array work (tokenize once in a projection, explode_outer
@@ -881,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "llm_chunk_documents": q_llm_chunk_documents,
         "llm_pack_sequences": q_llm_pack_sequences,
+        "llm_repeated_passages": q_llm_repeated_passages,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "events_sessionize": q_events_sessionize,
@@ -940,6 +953,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": oracles.curation_pipeline(),
         "llm_chunk_documents": oracles.llm_chunk_documents(),
         "llm_pack_sequences": oracles.llm_pack_sequences(),
+        "llm_repeated_passages": oracles.llm_repeated_passages(),
         "multimodal_decode_stats": oracles.multimodal_decode_stats(),
         "audio_decode_stats": oracles.audio_decode_stats(),
         "events_sessionize": oracles.events_sessionize(),

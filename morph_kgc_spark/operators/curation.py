@@ -122,3 +122,61 @@ def sample_stratified(df: DataFrame, id_col: str, stratum_col: str,
         thr = F.when(F.col(stratum_col) == F.lit(k),
                      F.lit(int(v * 1_000_000))).otherwise(thr)
     return df.where(_bucket(id_col, salt) < thr)
+
+
+def remove_repeated_passages(df: DataFrame, id_col: str, text_col: str,
+                             tile_tokens: int = 10,
+                             max_df: int = 2) -> DataFrame:
+    """CCNet-style within-document boilerplate removal over token tiles.
+
+    Documents are cut into consecutive ``tile_tokens``-token tiles; a
+    tile occurring more than ``max_df`` times ACROSS THE CORPUS
+    (occurrence count over all (doc, slot) positions — repeated
+    boilerplate within one document counts too) is dropped from every
+    document, and the survivors are reassembled in order. Returns
+    ``(id, n_tiles, n_kept, clean_md5)`` — the md5 of the reassembled
+    text keeps oracle rows small; callers wanting the cleaned TEXT use
+    the same plan with the join unchanged.
+
+    Scale design: tiling is a narrow per-row explode; the tile
+    occurrence count is ONE hash-aggregate (map-side partials); the
+    hot-tile set (df > max_df) is the small side by construction —
+    boilerplate is by definition few distinct strings — so it
+    broadcasts into a left join marking hot tiles, and the per-document
+    reassembly groupBy is the only other exchange. Every document
+    survives, even one whose every tile was boilerplate (empty clean
+    text), so corpus accounting stays exact.
+    """
+    from morph_kgc_spark.operators.text import _parallelize_narrow, tokens
+
+    T = tile_tokens
+    toks = _parallelize_narrow(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t")),
+        key=id_col)
+    toks = toks.withColumn("__nt", F.greatest(
+        F.ceil(F.size("__t") / F.lit(T)).cast("int"), F.lit(1)))
+    tiles = (toks.select(
+        F.col(id_col), F.col("__t"),
+        F.explode_outer(F.sequence(F.lit(0), F.col("__nt") - 1))
+        .alias("__idx"))
+        .where(F.col("__idx").isNotNull()))
+    tiles = tiles.select(
+        F.col(id_col), F.col("__idx"),
+        F.array_join(F.slice("__t", F.col("__idx") * T + 1, T), " ")
+        .alias("__tile"))
+    tiles = tiles.withColumn("__h", h64(F.col("__tile")))
+    hot = (tiles.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+           .where(F.col("__df") > max_df)
+           .select("__h", F.lit(True).alias("__hot")))
+    marked = (tiles.join(F.broadcast(hot), "__h", "left")
+              .withColumn("__hot", F.coalesce("__hot", F.lit(False))))
+    keep = F.when(~F.col("__hot"),
+                  F.struct(F.col("__idx"), F.col("__tile")))
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum(F.when(~F.col("__hot"), 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.md5(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(keep)),
+                                 lambda x: x["__tile"]),
+                     " ")).alias("clean_md5")))

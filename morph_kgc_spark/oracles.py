@@ -1294,3 +1294,42 @@ SELECT doc_id, shard,
        CAST(bin_start_offset AS BIGINT) AS bin_start_offset
 FROM ofs
 """
+
+
+def llm_repeated_passages(tile_tokens: int = 10, max_df: int = 2) -> str:
+    """Twin of curation.remove_repeated_passages: token tiles, corpus
+    occurrence count, hot tiles dropped, in-order reassembly hashed."""
+    T = tile_tokens
+    h = h64_sql("tile")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+sized AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil(len(t) / {T}.0) AS INT), 1) AS nt
+  FROM toks),
+tiles AS (
+  SELECT doc_id, unnest(generate_series(0, nt - 1)) AS idx, t
+  FROM sized),
+tv AS (
+  SELECT doc_id, idx,
+         array_to_string(list_slice(t, idx * {T} + 1, idx * {T} + {T}),
+                         ' ') AS tile
+  FROM tiles),
+hv AS (SELECT doc_id, idx, tile, {h} AS h FROM tv),
+hot AS (
+  SELECT h, TRUE AS ishot
+  FROM (SELECT h, count(*) AS df FROM hv GROUP BY h)
+  WHERE df > {max_df}),
+marked AS (
+  SELECT v.doc_id, v.idx, v.tile,
+         coalesce(hot.ishot, FALSE) AS ishot
+  FROM hv v LEFT JOIN hot USING (h))
+SELECT doc_id,
+       count(*) AS n_tiles,
+       CAST(sum(CASE WHEN NOT ishot THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       md5(coalesce(
+           string_agg(CASE WHEN NOT ishot THEN tile END, ' '
+                      ORDER BY idx), '')) AS clean_md5
+FROM marked GROUP BY doc_id
+"""

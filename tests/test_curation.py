@@ -166,3 +166,61 @@ class TestCurationPipeline:
                     spark, "/root/testdata/sf0.001")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+class TestRepeatedPassages:
+    def test_boilerplate_tile_dropped_everywhere(self, spark):
+        """A tile occurring in >max_df (doc,slot) positions vanishes
+        from every document; unique tiles survive."""
+        import hashlib
+
+        from morph_kgc_spark.operators.curation import (
+            remove_repeated_passages)
+
+        boiler = "cookie notice terms apply"
+        docs = spark.createDataFrame(
+            [(i, f"{boiler} unique{i} text{i} here{i}") for i in range(4)],
+            ["doc_id", "text"])
+        out = remove_repeated_passages(docs, "doc_id", "text",
+                                       tile_tokens=4, max_df=2)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert all(r.n_tiles == 2 and r.n_kept == 1
+                   for r in rows.values())
+        for i, r in rows.items():
+            want = hashlib.md5(
+                f"unique{i} text{i} here{i}".encode()).hexdigest()
+            assert r.clean_md5 == want
+
+    def test_fully_hot_document_survives_empty(self, spark):
+        import hashlib
+
+        from morph_kgc_spark.operators.curation import (
+            remove_repeated_passages)
+
+        docs = spark.createDataFrame(
+            [(i, "same same same same") for i in range(5)],
+            ["doc_id", "text"])
+        out = remove_repeated_passages(docs, "doc_id", "text",
+                                       tile_tokens=4, max_df=2)
+        rows = out.collect()
+        assert len(rows) == 5  # no document disappears
+        empty_md5 = hashlib.md5(b"").hexdigest()
+        assert all(r.n_kept == 0 and r.clean_md5 == empty_md5
+                   for r in rows)
+
+    def test_plan_jvm_only_bounded_exchanges(self, spark):
+        from morph_kgc_spark.operators.curation import (
+            remove_repeated_passages)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        plan = (remove_repeated_passages(docs, "doc_id", "text")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Python" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        # parallelize(key=doc_id) + tile-count aggregate are the only
+        # shuffles; the final per-doc groupBy reuses the doc_id
+        # partitioning laid down before the explode
+        import re
+        shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert shuffles <= 3, plan
