@@ -655,6 +655,38 @@ def q_curation_pipeline(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_kg_characteristic_sets(spark, sf_dir):
+    """Characteristic-set profile (Neumann & Moerkotte, ICDE 2011) of a
+    materialized graph: subjects grouped by their sorted distinct-
+    predicate set. Composed over three materialize() streams (multi-
+    predicate orders + customer names + supplier types) so the profile
+    exercises multi-predicate csets. Two shuffles: subject aggregate,
+    then a cset aggregate whose cardinality is #distinct combinations."""
+    from morph_kgc_spark.operators.kgstats import characteristic_sets
+
+    triples = (q_kg_typed_literals(spark, sf_dir)
+               .unionAll(q_kg_customer_triples(spark, sf_dir))
+               .unionAll(q_kg_rdf_type(spark, sf_dir)))
+    return characteristic_sets(triples)
+
+
+def q_dedup_keep_canonical(spark, sf_dir):
+    """Dedup end-state: one survivor per SimHash connected component —
+    longest text, min-id tiebreak — via a map-side-combinable
+    min(struct(-score, id)) argmax (no window over a possibly-degenerate
+    cluster)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(docs, "doc_id", "text", max_hamming=6)
+    return D.keep_canonical(docs, pairs, "doc_id", F.length("text"))
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    """Top-3 informative terms per doc by tf × (N/df) linear idf —
+    integer product + IEEE division keeps the ranking engine-exact."""
+    return T.tfidf_topk(_read(spark, sf_dir, "documents"),
+                        "doc_id", "text", k=3)
+
+
 def q_llm_repeated_passages(spark, sf_dir):
     """CCNet-style within-document boilerplate removal: corpus-frequent
     token tiles dropped from every document, survivors reassembled in
@@ -894,6 +926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_chunk_documents": q_llm_chunk_documents,
         "llm_pack_sequences": q_llm_pack_sequences,
         "llm_repeated_passages": q_llm_repeated_passages,
+        "kg_characteristic_sets": q_kg_characteristic_sets,
+        "dedup_keep_canonical": q_dedup_keep_canonical,
+        "text_tfidf_topk": q_text_tfidf_topk,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "events_sessionize": q_events_sessionize,
@@ -954,6 +989,9 @@ def oracle_sql() -> dict[str, str]:
         "llm_chunk_documents": oracles.llm_chunk_documents(),
         "llm_pack_sequences": oracles.llm_pack_sequences(),
         "llm_repeated_passages": oracles.llm_repeated_passages(),
+        "kg_characteristic_sets": oracles.kg_characteristic_sets(),
+        "dedup_keep_canonical": oracles.dedup_keep_canonical(),
+        "text_tfidf_topk": oracles.text_tfidf_topk(),
         "multimodal_decode_stats": oracles.multimodal_decode_stats(),
         "audio_decode_stats": oracles.audio_decode_stats(),
         "events_sessionize": oracles.events_sessionize(),

@@ -620,6 +620,46 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
     return out
 
 
+def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str,
+                   score_col) -> DataFrame:
+    """The end-state of a dedup pipeline: ONE survivor per near-dup
+    cluster — highest ``score_col``, minimum id on ties — with the
+    cluster's size attached. ``pairs`` is any candidate-pair frame
+    (``minhash_lsh_pairs`` / ``simhash_pairs`` / …); clustering is
+    :func:`dup_clusters`' connected components, so transitively-linked
+    docs compete for one slot even when no direct pair connects them.
+    Singletons survive trivially with cluster_size 1.
+
+    Output: (``id_col``, cluster_id, cluster_size, score).
+
+    Scale shape: the clustering's iterative joins (see
+    :func:`dup_clusters`), then ONE id-equi-join to attach scores and
+    ONE aggregate shuffled on cluster_id whose output is one row per
+    cluster. The survivor argmax is a map-side-combinable
+    ``min(struct(-score, id))`` — no window, no per-cluster sort, no
+    row_number skew (a window over a 10^8-member degenerate cluster
+    would sort it on one task; the struct-min reduces it). Score must
+    be numeric (it is negated for the combined argmax/tiebreak order).
+    """
+    clusters = dup_clusters(docs.select(id_col), pairs, id_col)
+    scored = docs.select(
+        F.col(id_col),
+        F.col(score_col).cast("double").alias("__score")
+        if isinstance(score_col, str) else score_col.cast("double").alias("__score"),
+    ).join(clusters, id_col)
+    winners = scored.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("__score")).alias("ns"),
+                       F.col(id_col).alias("sid"))).alias("m"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return winners.select(
+        F.col("m.sid").alias(id_col),
+        "cluster_id",
+        "cluster_size",
+        (-F.col("m.ns")).alias("score"),
+    )
+
+
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                         block_col: str, threshold: float = 0.8,
                         max_block_size: int | None = 100_000) -> DataFrame:

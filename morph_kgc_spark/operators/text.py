@@ -130,6 +130,56 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
+               k: int = 3) -> DataFrame:
+    """Top-k most informative terms per document by tf·idf with a
+    LINEAR inverse-document-frequency weight: score = tf × N / df.
+
+    The linear idf (not log) is deliberate: tf, N and df are integers,
+    so the score is one exact integer product and one IEEE-754 division
+    — bit-identical in any engine — where ``ln`` would make the ranking
+    depend on libm rounding at ties. The ranking it induces is the
+    classic tf-idf family's (idf is any monotone decreasing function of
+    df); ties break on term ASC so the top-k set is deterministic.
+
+    Output: (id, term, tf, doc_freq, score, rank), rank 1..k.
+
+    Scale shape: explode → one (id, term) aggregate (map-side
+    combinable; output bounded by Σ distinct-terms-per-doc), a term
+    aggregate over THAT (output = vocabulary size), a term-keyed join
+    back (hash join; vocabulary side is the small one and broadcasts
+    under AQE at real scale), and one window partitioned by doc id
+    whose partitions are per-doc term lists — never corpus-scale. The
+    corpus count enters as a 1-row cross join (broadcast nested loop),
+    not a driver-side ``.count()``, so everything stays in one DAG.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col), "term", "tf", "doc_freq",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("doc_freq"))
+            .alias("__s"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__s").desc(),
+                                           F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col(id_col), "term", "tf", "doc_freq",
+                F.round("__s", 6).alias("score"), "rank")
+    )
+
+
 # GPT-2-style pretokenizer, simplified to syntax that means the same in
 # Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed
 # letter runs, digit runs, other-symbol runs. (The original uses \p{L}

@@ -1333,3 +1333,87 @@ SELECT doc_id,
                       ORDER BY idx), '')) AS clean_md5
 FROM marked GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: KG profiling, dedup survivor selection, tf-idf
+# ---------------------------------------------------------------------------
+
+
+def kg_characteristic_sets() -> str:
+    """Twin of operators/kgstats.characteristic_sets over the UNION ALL
+    of three materialized streams (each internally distinct, mutually
+    disjoint predicates — matching the Spark side's unionAll of three
+    materialize() results)."""
+    return f"""
+WITH triples AS (
+  ({kg_typed_literals()})
+  UNION ALL
+  ({kg_customer_triples()})
+  UNION ALL
+  ({kg_rdf_type()})
+),
+per_subject AS (
+  SELECT subject,
+         array_to_string(list_sort(list(DISTINCT predicate)), ' ') AS cset,
+         count(*) AS n
+  FROM triples GROUP BY subject
+)
+SELECT cset,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(n) AS BIGINT) AS n_triples
+FROM per_subject GROUP BY cset
+"""
+
+
+def dedup_keep_canonical(max_hamming: int = 6, bits: int = 32) -> str:
+    """Twin of operators/dedup.keep_canonical over SimHash clusters:
+    per connected component keep the max-length(text) doc (min doc_id
+    tiebreak) with the component size. row_number here replays the
+    Spark side's shuffle-free min(struct(-score, id)) argmax."""
+    return f"""
+WITH clusters AS (
+{dedup_clusters(max_hamming, bits)}
+),
+ranked AS (
+  SELECT d.doc_id, c.cluster_id,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         CAST(length(d.text) AS DOUBLE) AS score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size, score
+FROM ranked WHERE rn = 1
+"""
+
+
+def text_tfidf_topk(k: int = 3) -> str:
+    """Twin of operators/text.tfidf_topk — linear idf (tf * N / df):
+    one exact integer product + one IEEE division, so score and the
+    ranking it induces are bit-identical across engines."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({_TOKENS}) AS t(term)
+  WHERE t.term != ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(dfreq.doc_freq AS BIGINT) AS doc_freq,
+         CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.doc_freq AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, round(s, 6) AS score, rank
+FROM ranked WHERE rank <= {k}
+"""

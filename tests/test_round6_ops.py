@@ -1,0 +1,95 @@
+"""Round-6 late additions: characteristic sets, canonical survivor
+selection, tf-idf top-k. Semantics pinned on hand-built fixtures; the
+sf0.001/sf0.01 oracle parity is covered by tools/check_correctness.py
+and the driver gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from morph_kgc_spark.operators import dedup as D
+from morph_kgc_spark.operators import text as T
+from morph_kgc_spark.operators.kgstats import characteristic_sets
+
+
+# --- characteristic_sets ---------------------------------------------------
+
+def test_characteristic_sets_groups_by_sorted_predicate_set(spark):
+    triples = spark.createDataFrame(
+        [
+            ("s1", "p:b", "o"), ("s1", "p:a", "o"),     # cset "p:a p:b"
+            ("s2", "p:a", "o1"), ("s2", "p:b", "o2"),   # same cset
+            ("s2", "p:a", "o3"),                        # repeat predicate
+            ("s3", "p:a", "o"),                         # cset "p:a"
+        ],
+        "subject string, predicate string, object string")
+    out = {r.cset: (r.n_subjects, r.n_triples)
+           for r in characteristic_sets(triples).collect()}
+    assert out == {"p:a p:b": (2, 5), "p:a": (1, 1)}
+
+
+def test_characteristic_sets_predicate_order_irrelevant(spark):
+    """Sorted cset: insertion order of triples cannot split a group."""
+    t1 = spark.createDataFrame([("s", "b", "o"), ("s", "a", "o")],
+                               "subject string, predicate string, object string")
+    t2 = spark.createDataFrame([("s", "a", "o"), ("s", "b", "o")],
+                               "subject string, predicate string, object string")
+    c1 = characteristic_sets(t1).collect()[0].cset
+    c2 = characteristic_sets(t2).collect()[0].cset
+    assert c1 == c2 == "a b"
+
+
+# --- keep_canonical --------------------------------------------------------
+
+@pytest.fixture()
+def linked_docs(spark):
+    """Docs 1-2-3 form one transitive cluster (1-2 and 2-3 paired, no
+    1-3 pair); 4 is a singleton. Doc 2 has the longest text."""
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "bbbb"), (3, "cc"), (4, "d")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    return docs, pairs
+
+
+def test_keep_canonical_transitive_cluster_one_survivor(spark, linked_docs):
+    docs, pairs = linked_docs
+    out = {r.doc_id: r for r in
+           D.keep_canonical(docs, pairs, "doc_id",
+                            F.length("text")).collect()}
+    assert set(out) == {2, 4}                   # longest of {1,2,3}; singleton
+    assert out[2].cluster_id == 1 and out[2].cluster_size == 3
+    assert out[2].score == 4.0
+    assert out[4].cluster_id == 4 and out[4].cluster_size == 1
+
+
+def test_keep_canonical_min_id_tiebreak(spark):
+    docs = spark.createDataFrame([(7, "xx"), (5, "yy")],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(5, 7)], "id_a long, id_b long")
+    out = D.keep_canonical(docs, pairs, "doc_id", F.length("text")).collect()
+    assert len(out) == 1 and out[0].doc_id == 5   # equal score → min id
+
+
+# --- tfidf_topk ------------------------------------------------------------
+
+def test_tfidf_topk_ranks_rare_terms_above_stopwords(spark):
+    """'the' appears in every doc (idf N/df = 1); each doc's unique term
+    outranks it even at equal tf."""
+    docs = spark.createDataFrame(
+        [(1, "the zebra the"), (2, "the yak"), (3, "the xerus")],
+        "doc_id long, text string")
+    out = T.tfidf_topk(docs, "doc_id", "text", k=1).collect()
+    top = {r.doc_id: r for r in out}
+    assert {top[1].term, top[2].term, top[3].term} == {"zebra", "yak", "xerus"}
+    # doc 1: zebra tf=1, df=1, N=3 → score 3.0
+    assert top[1].score == 3.0 and top[1].tf == 1 and top[1].doc_freq == 1
+    assert all(r.rank == 1 for r in out)
+
+
+def test_tfidf_topk_term_asc_tiebreak_and_k(spark):
+    docs = spark.createDataFrame([(1, "b a c"), (2, "q")],
+                                 "doc_id long, text string")
+    out = [r.term for r in
+           T.tfidf_topk(docs, "doc_id", "text", k=2)
+            .where(F.col("doc_id") == 1).orderBy("rank").collect()]
+    assert out == ["a", "b"]                     # equal scores → term ASC, k=2
