@@ -671,12 +671,13 @@ def q_kg_characteristic_sets(spark, sf_dir):
 
 
 def q_dedup_keep_canonical(spark, sf_dir):
-    """Dedup end-state: one survivor per SimHash connected component —
-    longest text, min-id tiebreak — via a map-side-combinable
-    min(struct(-score, id)) argmax (no window over a possibly-degenerate
-    cluster)."""
+    """Dedup end-state: one survivor per MinHash-LSH connected
+    component — longest text, min-id tiebreak — via a map-side-
+    combinable min(struct(-score, id)) argmax (no window over a
+    possibly-degenerate cluster). MinHash pairs, not SimHash, so this
+    query does not re-pay dedup_clusters' candidate stage."""
     docs = _read(spark, sf_dir, "documents")
-    pairs = D.simhash_pairs(docs, "doc_id", "text", max_hamming=6)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text")
     return D.keep_canonical(docs, pairs, "doc_id", F.length("text"))
 
 

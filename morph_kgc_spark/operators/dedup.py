@@ -555,19 +555,26 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
     ever sees a changed-row COUNT.
 
     At 10^10 nodes this is the standard iterative CC shape (cf.
-    large-star/small-star); singletons pass through unjoined.
+    large-star/small-star). The iteration runs over DUP-GRAPH NODES
+    ONLY — ids that never appear in a pair cannot change label, so they
+    skip the rounds entirely and are appended once at the end via one
+    anti-join (round 6: previously every round's join/aggregate/
+    checkpoint carried the whole corpus; at 100 TB the dup graph is
+    orders of magnitude smaller than the corpus, so per-round cost now
+    scales with |V(dup graph)|, not |corpus|).
     """
     from morph_kgc_spark.operators.cache import release
 
-    # lazy checkpoints: round 1's join+aggregate job fully scans both,
-    # materializing their blocks — no separate warm-up jobs needed
-    labels = ids.select(F.col(id_col).alias("node"),
-                        F.col(id_col).alias("lbl")).localCheckpoint(eager=False)
     # undirected: propagate both ways
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
+    # lazy checkpoints: round 1's join+aggregate job fully scans both,
+    # materializing their blocks — no separate warm-up jobs needed
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("lbl"))
+              .localCheckpoint(eager=False))
 
     prev = labels
     for _ in range(max_iterations):
@@ -612,9 +619,19 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
         labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
-    # the result projects over the final checkpoint, so only edges die here
-    out = labels.select(F.col("node").alias(id_col),
-                        F.col("lbl").alias("cluster_id")).localCheckpoint()
+    # singletons (never in a pair) are their own cluster: one anti-join
+    # against the dup-node set, paid once — not once per round
+    singletons = (
+        ids.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("lbl"))
+    )
+    # the result is checkpointed BEFORE its inputs are released: the
+    # final round's blocks back `labels`, and a checkpointed plan
+    # cannot recompute released dependencies
+    out = (labels.unionAll(singletons)
+           .select(F.col("node").alias(id_col),
+                   F.col("lbl").alias("cluster_id")).localCheckpoint())
     release(edges)
     release(prev)
     return out

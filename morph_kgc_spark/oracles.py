@@ -1366,14 +1366,37 @@ FROM per_subject GROUP BY cset
 """
 
 
-def dedup_keep_canonical(max_hamming: int = 6, bits: int = 32) -> str:
-    """Twin of operators/dedup.keep_canonical over SimHash clusters:
-    per connected component keep the max-length(text) doc (min doc_id
-    tiebreak) with the component size. row_number here replays the
-    Spark side's shuffle-free min(struct(-score, id)) argmax."""
+def _clusters_over_pairs(pairs_sql: str) -> str:
+    """Connected components (min reachable doc_id) over any (id_a,
+    id_b) pair query — the recursive-CTE replay of operators/dedup.
+    dup_clusters, parameterized by the pair source."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def dedup_keep_canonical() -> str:
+    """Twin of operators/dedup.keep_canonical over MinHash-LSH
+    clusters: per connected component keep the max-length(text) doc
+    (min doc_id tiebreak) with the component size. row_number here
+    replays the Spark side's shuffle-free min(struct(-score, id))
+    argmax. MinHash pairs (not SimHash) so the bench does not re-pay
+    dedup_clusters' SimHash candidate stage for a second query."""
     return f"""
 WITH clusters AS (
-{dedup_clusters(max_hamming, bits)}
+{_clusters_over_pairs(dedup_minhash_lsh())}
 ),
 ranked AS (
   SELECT d.doc_id, c.cluster_id,
