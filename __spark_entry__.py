@@ -681,6 +681,19 @@ def q_dedup_keep_canonical(spark, sf_dir):
     return D.keep_canonical(docs, pairs, "doc_id", F.length("text"))
 
 
+def q_text_quality_gate(spark, sf_dir):
+    """Gopher-rules composite filter: keep/reject + violated-rule names
+    per doc, ratio rules compared cross-multiplied (engine-exact, no
+    division). Thresholds tuned to the synthetic corpus (10-99 token
+    docs) so the gate actually splits it."""
+    return T.quality_gate(_read(spark, sf_dir, "documents"),
+                          "doc_id", "text",
+                          min_tokens=30, max_tokens=100_000,
+                          min_mean_word_len=2.5, max_mean_word_len=10.0,
+                          max_symbol_ratio=0.05,
+                          min_unique_fraction=0.2, min_stopword_hits=2)
+
+
 def q_text_tfidf_topk(spark, sf_dir):
     """Top-3 informative terms per doc by tf × (N/df) linear idf —
     integer product + IEEE division keeps the ranking engine-exact."""
@@ -930,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_characteristic_sets": q_kg_characteristic_sets,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "text_tfidf_topk": q_text_tfidf_topk,
+        "text_quality_gate": q_text_quality_gate,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "events_sessionize": q_events_sessionize,
@@ -993,6 +1007,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_characteristic_sets": oracles.kg_characteristic_sets(),
         "dedup_keep_canonical": oracles.dedup_keep_canonical(),
         "text_tfidf_topk": oracles.text_tfidf_topk(),
+        "text_quality_gate": oracles.text_quality_gate(
+            min_tokens=30, max_tokens=100_000,
+            min_mean_word_len=2.5, max_mean_word_len=10.0,
+            max_symbol_ratio=0.05,
+            min_unique_fraction=0.2, min_stopword_hits=2),
         "multimodal_decode_stats": oracles.multimodal_decode_stats(),
         "audio_decode_stats": oracles.audio_decode_stats(),
         "events_sessionize": oracles.events_sessionize(),

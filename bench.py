@@ -162,8 +162,11 @@ def main() -> None:
 
     for name, fn in qs.items():
         # kg_* rules are covered by the flagship single-DAG job, except
-        # the gather container which is not expressible as a plain Rule
-        if name.startswith("kg_") and name != "kg_gather_bag":
+        # the gather container (not expressible as a plain Rule) and
+        # the characteristic-set profile (an aggregate OVER triples,
+        # not a materialization rule — it has no flagship counterpart)
+        if name.startswith("kg_") and name not in ("kg_gather_bag",
+                                                   "kg_characteristic_sets"):
             continue
         fn = lazy_overrides.get(name, fn)
 

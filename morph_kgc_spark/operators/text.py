@@ -130,6 +130,62 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_gate(df: DataFrame, id_col: str, text_col: str, *,
+                 min_tokens: int = 50, max_tokens: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_unique_fraction: float = 0.2,
+                 min_stopword_hits: int = 2) -> DataFrame:
+    """Gopher-style composite quality FILTER: per-document keep/reject
+    with the violated rule names, the gate a training-data pipeline
+    runs after language ID and before dedup (Rae et al. 2021 §A1.1's
+    rule family — word-count bounds, mean-word-length bounds, symbol
+    ratio, duplicate-token fraction, stop-word presence).
+
+    Output: (id, keep boolean, violations string) — ``violations`` is
+    a comma-joined FIXED-ORDER list (mean_word_len, stopwords,
+    symbol_ratio, unique_fraction, word_count), empty when kept, so
+    rejection REASONS are auditable (a bare boolean hides why a corpus
+    shrank).
+
+    Engine-exactness: every ratio rule is compared CROSS-MULTIPLIED
+    (``symbols > ratio × chars`` instead of ``symbols/chars > ratio``)
+    — integer-times-double products, no division, so no NaN/Inf edge on
+    empty documents and no libm divergence. The stop-word set is
+    ``LANG_PROFILES['en']``, the same constant the oracle generators
+    render. Zero shuffle: one narrow projection, all codegen.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    non_space = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    uniq = F.size(F.array_distinct(t))
+    n_chars = F.length(F.col(text_col))
+    symbols = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9 ]"))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(t),
+        F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])))
+
+    def viol(cond, name):
+        return F.when(cond, F.lit(name))
+
+    violations = F.concat_ws(
+        ",",
+        viol((non_space < F.lit(min_mean_word_len) * n_tok)
+             | (non_space > F.lit(max_mean_word_len) * n_tok),
+             "mean_word_len"),
+        viol(stop_hits < min_stopword_hits, "stopwords"),
+        viol(symbols > F.lit(max_symbol_ratio) * n_chars, "symbol_ratio"),
+        viol(uniq < F.lit(min_unique_fraction) * n_tok, "unique_fraction"),
+        viol((n_tok < min_tokens) | (n_tok > max_tokens), "word_count"),
+    )
+    return df.select(
+        F.col(id_col),
+        (violations == "").alias("keep"),
+        violations.alias("violations"),
+    )
+
+
 def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
                k: int = 3) -> DataFrame:
     """Top-k most informative terms per document by tf·idf with a

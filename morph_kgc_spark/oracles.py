@@ -1440,3 +1440,45 @@ ranked AS (
 SELECT doc_id, term, tf, doc_freq, round(s, 6) AS score, rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def text_quality_gate(min_tokens: int = 50, max_tokens: int = 100_000,
+                      min_mean_word_len: float = 3.0,
+                      max_mean_word_len: float = 10.0,
+                      max_symbol_ratio: float = 0.1,
+                      min_unique_fraction: float = 0.2,
+                      min_stopword_hits: int = 2) -> str:
+    """Twin of operators/text.quality_gate — same cross-multiplied
+    comparisons (no division), same fixed violation order, same
+    LANG_PROFILES['en'] stop-word constant."""
+    stops = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    t = _TOKENS
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         len({t}) AS n_tok,
+         length(replace(text, ' ', '')) AS non_space,
+         len(list_distinct({t})) AS uniq,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS symbols,
+         len(list_intersect(list_distinct({t}), [{stops}])) AS stop_hits
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         concat_ws(',',
+           CASE WHEN non_space < {min_mean_word_len} * n_tok
+                  OR non_space > {max_mean_word_len} * n_tok
+                THEN 'mean_word_len' END,
+           CASE WHEN stop_hits < {min_stopword_hits} THEN 'stopwords' END,
+           CASE WHEN symbols > {max_symbol_ratio} * n_chars
+                THEN 'symbol_ratio' END,
+           CASE WHEN uniq < {min_unique_fraction} * n_tok
+                THEN 'unique_fraction' END,
+           CASE WHEN n_tok < {min_tokens} OR n_tok > {max_tokens}
+                THEN 'word_count' END
+         ) AS violations
+  FROM s
+)
+SELECT doc_id, (violations = '') AS keep, violations FROM v
+"""

