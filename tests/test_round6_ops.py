@@ -122,7 +122,8 @@ def test_quality_gate_rules_and_fixed_order(spark):
     assert out[2].violations == "mean_word_len,stopwords,word_count"
     assert "unique_fraction" in out[3].violations
     assert "symbol_ratio" in out[5].violations
-    assert not out[1].keep or out[1].keep  # smoke: schema present
+    # doc 1 repeats 6 words x10 → unique fraction 0.1 < 0.2
+    assert out[1].violations == "unique_fraction"
 
 
 def test_quality_gate_empty_text_no_nan_edge(spark):
@@ -133,3 +134,13 @@ def test_quality_gate_empty_text_no_nan_edge(spark):
     assert not row.keep
     assert "word_count" in row.violations
     assert "stopwords" in row.violations
+
+
+def test_dup_clusters_empty_pairs_all_singletons(spark):
+    """The dup-graph-nodes-only iteration (round-6 rewrite) must still
+    emit every id as its own cluster when there are no pairs at all."""
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id
+           for r in D.dup_clusters(ids, pairs, "doc_id").collect()}
+    assert out == {1: 1, 2: 2, 3: 3}
