@@ -561,12 +561,24 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
     anti-join (round 6: previously every round's join/aggregate/
     checkpoint carried the whole corpus; at 100 TB the dup graph is
     orders of magnitude smaller than the corpus, so per-round cost now
-    scales with |V(dup graph)|, not |corpus|).
+    scales with |V(dup graph)|, not |corpus|). Components are computed
+    over the subgraph INDUCED ON ``ids``: pairs touching an id outside
+    ``ids`` are dropped up front (two semi-joins, paid once), so the
+    output has exactly one row per input id and every cluster_id is an
+    input id — the contract the pre-rewrite corpus-seeded iteration
+    enforced implicitly.
     """
     from morph_kgc_spark.operators.cache import release
 
+    id_set = ids.select(F.col(id_col).alias("node"))
+    pairs_in = (
+        pairs.join(id_set.withColumnRenamed("node", "id_a"), "id_a",
+                   "left_semi")
+        .join(id_set.withColumnRenamed("node", "id_b"), "id_b", "left_semi")
+    )
     # undirected: propagate both ways
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    e = pairs_in.select(F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"))
     edges = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
@@ -656,13 +668,18 @@ def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str,
     ``min(struct(-score, id))`` — no window, no per-cluster sort, no
     row_number skew (a window over a 10^8-member degenerate cluster
     would sort it on one task; the struct-min reduces it). Score must
-    be numeric (it is negated for the combined argmax/tiebreak order).
+    be numeric (it is negated for the combined argmax/tiebreak order);
+    a NULL score never wins (coalesced to -inf before the argmax —
+    Spark's struct ordering would otherwise sort NULL FIRST and crown
+    the null-scored doc). An all-null cluster falls back to the min-id
+    member with a NULL reported score.
     """
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
     clusters = dup_clusters(docs.select(id_col), pairs, id_col)
     scored = docs.select(
         F.col(id_col),
-        F.col(score_col).cast("double").alias("__score")
-        if isinstance(score_col, str) else score_col.cast("double").alias("__score"),
+        F.coalesce(sc.cast("double"),
+                   F.lit(float("-inf"))).alias("__score"),
     ).join(clusters, id_col)
     winners = scored.groupBy("cluster_id").agg(
         F.min(F.struct((-F.col("__score")).alias("ns"),
@@ -673,7 +690,9 @@ def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str,
         F.col("m.sid").alias(id_col),
         "cluster_id",
         "cluster_size",
-        (-F.col("m.ns")).alias("score"),
+        F.when(F.col("m.ns") == F.lit(float("inf")),
+               F.lit(None).cast("double"))
+         .otherwise(-F.col("m.ns")).alias("score"),
     )
 
 

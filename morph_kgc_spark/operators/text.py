@@ -155,13 +155,22 @@ def quality_gate(df: DataFrame, id_col: str, text_col: str, *,
     empty documents and no libm divergence. The stop-word set is
     ``LANG_PROFILES['en']``, the same constant the oracle generators
     render. Zero shuffle: one narrow projection, all codegen.
+
+    Degenerate inputs gate CLOSED: NULL text is treated as empty (a
+    gate that answers keep=true for NULL — which every un-coalesced
+    rule condition would, all WHENs evaluating to NULL — passes exactly
+    the one document class that is unambiguously junk), and empty
+    tokens from doubled/leading/trailing spaces are dropped before
+    counting (matching :func:`tfidf_topk`; they would otherwise inflate
+    n_tok/uniq and drag the mean word length).
     """
-    t = tokens(F.col(text_col))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.filter(tokens(txt), lambda x: x != "")
     n_tok = F.size(t)
-    non_space = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    non_space = F.length(F.replace(txt, F.lit(" "), F.lit("")))
     uniq = F.size(F.array_distinct(t))
-    n_chars = F.length(F.col(text_col))
-    symbols = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9 ]"))
+    n_chars = F.length(txt)
+    symbols = F.regexp_count(txt, F.lit("[^A-Za-z0-9 ]"))
     stop_hits = F.size(F.array_intersect(
         F.array_distinct(t),
         F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])))

@@ -1450,17 +1450,19 @@ def text_quality_gate(min_tokens: int = 50, max_tokens: int = 100_000,
                       min_stopword_hits: int = 2) -> str:
     """Twin of operators/text.quality_gate — same cross-multiplied
     comparisons (no division), same fixed violation order, same
-    LANG_PROFILES['en'] stop-word constant."""
+    LANG_PROFILES['en'] stop-word constant, same degenerate-input
+    closure (NULL text coalesced to '', empty tokens dropped)."""
     stops = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
-    t = _TOKENS
+    t = "list_filter(string_split(coalesce(text, ''), ' '), x -> x != '')"
     return f"""
 WITH s AS (
   SELECT doc_id,
          len({t}) AS n_tok,
-         length(replace(text, ' ', '')) AS non_space,
+         length(replace(coalesce(text, ''), ' ', '')) AS non_space,
          len(list_distinct({t})) AS uniq,
-         length(text) AS n_chars,
-         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS symbols,
+         length(coalesce(text, '')) AS n_chars,
+         len(regexp_extract_all(coalesce(text, ''), '[^A-Za-z0-9 ]'))
+           AS symbols,
          len(list_intersect(list_distinct({t}), [{stops}])) AS stop_hits
   FROM documents
 ),

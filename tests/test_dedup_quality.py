@@ -23,7 +23,7 @@ from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
 
 from morph_kgc_spark.operators import dedup as D
 from morph_kgc_spark.operators.cache import release
-from tools.dedup_quality import pair_set
+from tools.dedup_quality import pair_set, true_pair_set
 
 JACCARD_THRESHOLD = 0.5
 
@@ -35,12 +35,9 @@ def docs(spark, sf_dir):
 
 @pytest.fixture(scope="module")
 def true_pairs(docs):
-    """Exact >=0.5-jaccard pairs (star cap effectively infinite)."""
-    exact = D.ngram_capped_pairs(docs, "doc_id", "text",
-                                 star_cap=1_000_000_000)
-    truth = {(r.id_a, r.id_b) for r in exact.collect()
-             if r.jaccard >= JACCARD_THRESHOLD}
-    release(exact)
+    """Exact >=0.5-jaccard pairs — the same definition the BENCH.md
+    report runs (tools/dedup_quality.true_pair_set)."""
+    truth = true_pair_set(docs, JACCARD_THRESHOLD)
     assert truth, "fixture corpus lost its planted near-duplicates"
     return truth
 

@@ -144,3 +144,59 @@ def test_dup_clusters_empty_pairs_all_singletons(spark):
     out = {r.doc_id: r.cluster_id
            for r in D.dup_clusters(ids, pairs, "doc_id").collect()}
     assert out == {1: 1, 2: 2, 3: 3}
+
+
+# --- code-review regression pins (round-6 session review) -------------------
+
+def test_keep_canonical_null_score_never_wins(spark):
+    """Spark struct ordering sorts NULL first — un-coalesced, a NULL
+    score would crown the null-scored doc. It must lose instead."""
+    docs = spark.createDataFrame([(1, None), (2, "long text")],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = D.keep_canonical(docs, pairs, "doc_id", F.length("text")).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 2 and out[0].score == 9.0
+
+
+def test_keep_canonical_all_null_cluster_min_id_null_score(spark):
+    docs = spark.createDataFrame([(3, None), (5, None)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(3, 5)], "id_a long, id_b long")
+    out = D.keep_canonical(docs, pairs, "doc_id", F.length("text")).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 3 and out[0].score is None
+
+
+def test_dup_clusters_induced_subgraph_on_ids(spark):
+    """Pairs touching ids outside the input set are ignored: one row
+    per input id, every cluster_id an input id."""
+    ids = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id
+           for r in D.dup_clusters(ids, pairs, "doc_id").collect()}
+    assert out == {2: 2, 3: 2}          # (1,2) dropped; 2-3 still cluster
+
+
+def test_quality_gate_null_text_rejected(spark):
+    """NULL text must gate CLOSED (every rule condition is NULL without
+    the coalesce, which silently kept it)."""
+    docs = spark.createDataFrame([(1, None), (2, "x y")],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           T.quality_gate(docs, "doc_id", "text").collect()}
+    assert not out[1].keep
+    assert "word_count" in out[1].violations
+
+
+def test_quality_gate_ignores_empty_tokens_from_spacing(spark):
+    """Doubled/trailing spaces must not mint phantom tokens (29 real
+    words + a double space is still 29 words, not 30)."""
+    words = " ".join(f"w{i}" for i in range(29))
+    docs = spark.createDataFrame(
+        [(1, words.replace("w3 w4", "w3  w4") + " ")],
+        "doc_id long, text string")
+    row = T.quality_gate(docs, "doc_id", "text", min_tokens=30,
+                         min_mean_word_len=1.0,
+                         min_stopword_hits=0).collect()[0]
+    assert "word_count" in row.violations

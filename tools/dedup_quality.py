@@ -38,6 +38,19 @@ def pair_set(df) -> set:
     return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
 
 
+def true_pair_set(docs, threshold: float) -> set:
+    """Exact >=threshold-jaccard ground truth: ngram_capped_pairs with
+    an effectively-infinite star cap. The ONE definition both the
+    BENCH.md report (main() below) and the CI gate
+    (tests/test_dedup_quality.py) use — keep them from drifting."""
+    exact = D.ngram_capped_pairs(docs, "doc_id", "text",
+                                 star_cap=1_000_000_000)
+    truth = {(r.id_a, r.id_b) for r in exact.collect()
+             if r.jaccard >= threshold}
+    release(exact)
+    return truth
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     thresh = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
@@ -51,11 +64,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    exact = D.ngram_capped_pairs(docs, "doc_id", "text",
-                                 star_cap=1_000_000_000)
-    truth = {(r.id_a, r.id_b) for r in exact.collect()
-             if r.jaccard >= thresh}
-    release(exact)
+    truth = true_pair_set(docs, thresh)
 
     rows = []
     strategies = {
