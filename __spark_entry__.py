@@ -681,6 +681,16 @@ def q_dedup_keep_canonical(spark, sf_dir):
     return D.keep_canonical(docs, pairs, "doc_id", F.length("text"))
 
 
+def q_events_asof_join(spark, sf_dir):
+    """Point-in-time join: each click matched to the user's latest
+    view at-or-before it. One shuffle (union-tagged window), never the
+    naive range join; the oracle is DuckDB's NATIVE ASOF JOIN."""
+    ev = _read(spark, sf_dir, "events")
+    return E.asof_join(ev.where(F.col("event_type") == "click"),
+                       ev.where(F.col("event_type") == "view"),
+                       "user_id")
+
+
 def q_text_quality_gate(spark, sf_dir):
     """Gopher-rules composite filter: keep/reject + violated-rule names
     per doc, ratio rules compared cross-multiplied (engine-exact, no
@@ -944,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_quality_gate": q_text_quality_gate,
+        "events_asof_join": q_events_asof_join,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "events_sessionize": q_events_sessionize,
@@ -1007,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_characteristic_sets": oracles.kg_characteristic_sets(),
         "dedup_keep_canonical": oracles.dedup_keep_canonical(),
         "text_tfidf_topk": oracles.text_tfidf_topk(),
+        "events_asof_join": oracles.events_asof_join(),
         "text_quality_gate": oracles.text_quality_gate(
             min_tokens=30, max_tokens=100_000,
             min_mean_word_len=2.5, max_mean_word_len=10.0,

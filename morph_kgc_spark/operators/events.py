@@ -62,3 +62,60 @@ def hourly_rollup(df: DataFrame, ts_col: str = "ts",
             F.round(F.sum(F.col(value_col).cast("double")), 4).alias("sum_value"),
         )
     )
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              payload: tuple[str, ...] = ("event_id", "value")) -> DataFrame:
+    """Point-in-time (AS-OF) join: each left row matched to the LATEST
+    right row of the same ``on`` key with ``right_ts <= left_ts`` —
+    the operator behind feature lookups, slowly-changing dimensions,
+    and "state at event time" joins, which Spark has no builtin for
+    (DuckDB's native ASOF JOIN is the oracle twin).
+
+    Returns every left row plus ``asof_<payload>`` columns and
+    ``asof_ts`` (all NULL when no right row precedes it).
+
+    Scale shape: NOT the naive inequality join (a range join explodes
+    to |left|×|right-per-key| and Catalyst plans it as BNLJ). Both
+    sides are union-tagged and sorted once per key — ONE shuffle on
+    ``on``, ZERO joins — and the match is a running ``last(payload,
+    ignorenulls=True)`` window: right rows sort BEFORE co-timestamped
+    left rows so the <= bound is inclusive. (key, ts) ties among right
+    rows are broken IN the window order (payload struct ascending, so
+    the greatest payload is the one the running-last sees) — no
+    pre-dedup aggregate, which would shuffle the whole right stream a
+    second time. DuckDB's native ASOF is underspecified under such
+    ties, so the oracle twin pins the same greatest-payload winner.
+    """
+    r_tag = right.select(
+        F.col(on).alias("__k"), F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__r"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{left.schema[c].dataType.simpleString()}"
+                for c in left.columns) + ">").alias("__left"),
+        F.struct(F.col(right_ts).alias("__ats"),
+                 *[F.col(p) for p in payload]).alias("__pay"),
+    )
+    l_tag = left.select(
+        F.col(on).alias("__k"), F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        F.lit(None).cast(r_tag.schema["__pay"].dataType).alias("__pay"),
+    )
+    w = (Window.partitionBy("__k")
+         .orderBy(F.col("__t").asc(), F.col("__r").desc(),
+                  F.col("__pay").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (
+        r_tag.unionByName(l_tag)
+        .select("__r", "__left",
+                F.last("__pay", ignorenulls=True).over(w).alias("__hit"))
+        .where(F.col("__r") == 0)
+    )
+    return matched.select(
+        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        F.col("__hit.__ats").alias("asof_ts"),
+        *[F.col(f"__hit.{p}").alias(f"asof_{p}") for p in payload],
+    )

@@ -1484,3 +1484,26 @@ v AS (
 )
 SELECT doc_id, (violations = '') AS keep, violations FROM v
 """
+
+
+def events_asof_join() -> str:
+    """Twin of operators/events.asof_join via DuckDB's NATIVE ASOF
+    JOIN — the strongest possible oracle: a first-class engine
+    implementation of the semantics, not a replay of our plan. The
+    right side is pre-deduped to one row per (user_id, ts) with the
+    max (event_id, value), the same deterministic winner the Spark
+    side's struct-max picks (ASOF is underspecified under ties)."""
+    return """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC, value DESC) AS rn
+    FROM events WHERE event_type = 'view') t WHERE rn = 1
+)
+SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value, l.props,
+       r.ts AS asof_ts, r.event_id AS asof_event_id,
+       r.value AS asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""

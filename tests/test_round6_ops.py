@@ -200,3 +200,48 @@ def test_quality_gate_ignores_empty_tokens_from_spacing(spark):
                          min_mean_word_len=1.0,
                          min_stopword_hits=0).collect()[0]
     assert "word_count" in row.violations
+
+
+# --- asof_join ---------------------------------------------------------------
+
+def test_asof_join_semantics(spark):
+    """Latest right row at-or-before each left row, per key; inclusive
+    bound; NULL columns when nothing precedes."""
+    from morph_kgc_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(10, "2024-01-01 10:00:00", 1),
+         (11, "2024-01-01 12:00:00", 1),
+         (12, "2024-01-01 09:00:00", 2)],
+        "event_id long, ts string, user_id long"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id")
+    right = spark.createDataFrame(
+        [(100, "2024-01-01 09:30:00", 1, 1.0),
+         (101, "2024-01-01 10:00:00", 1, 2.0),   # ties left@10:00 → inclusive
+         (102, "2024-01-01 11:00:00", 1, 3.0),
+         (103, "2024-01-01 23:00:00", 2, 4.0)],  # after left@09:00 → no match
+        "event_id long, ts string, user_id long, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    out = {r.event_id: r for r in
+           asof_join(left, right, "user_id").collect()}
+    assert out[10].asof_event_id == 101 and out[10].asof_value == 2.0
+    assert out[11].asof_event_id == 102
+    assert out[12].asof_event_id is None and out[12].asof_ts is None
+
+
+def test_asof_join_tie_dedup_deterministic(spark):
+    """Two right rows at the same (key, ts): the struct-max winner
+    (greatest event_id) is matched, deterministically."""
+    from morph_kgc_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7)],
+        "event_id long, ts string, user_id long"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id")
+    right = spark.createDataFrame(
+        [(50, "2024-01-01 09:00:00", 7, 5.0),
+         (51, "2024-01-01 09:00:00", 7, 6.0)],
+        "event_id long, ts string, user_id long, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    row = asof_join(left, right, "user_id").collect()[0]
+    assert row.asof_event_id == 51
