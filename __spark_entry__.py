@@ -670,6 +670,19 @@ def q_kg_characteristic_sets(spark, sf_dir):
     return characteristic_sets(triples)
 
 
+def q_kg_void_stats(spark, sf_dir):
+    """VoID property partition (void:triples / void:distinctSubjects /
+    void:distinctObjects per predicate) of the same three materialized
+    streams as the characteristic-set profile. One multi-distinct
+    aggregate; final exchange cardinality = predicate vocabulary."""
+    from morph_kgc_spark.operators.kgstats import void_property_partition
+
+    triples = (q_kg_typed_literals(spark, sf_dir)
+               .unionAll(q_kg_customer_triples(spark, sf_dir))
+               .unionAll(q_kg_rdf_type(spark, sf_dir)))
+    return void_property_partition(triples)
+
+
 def q_dedup_keep_canonical(spark, sf_dir):
     """Dedup end-state: one survivor per MinHash-LSH connected
     component — longest text, min-id tiebreak — via a map-side-
@@ -951,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pack_sequences": q_llm_pack_sequences,
         "llm_repeated_passages": q_llm_repeated_passages,
         "kg_characteristic_sets": q_kg_characteristic_sets,
+        "kg_void_stats": q_kg_void_stats,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_quality_gate": q_text_quality_gate,
@@ -1016,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_pack_sequences": oracles.llm_pack_sequences(),
         "llm_repeated_passages": oracles.llm_repeated_passages(),
         "kg_characteristic_sets": oracles.kg_characteristic_sets(),
+        "kg_void_stats": oracles.kg_void_stats(),
         "dedup_keep_canonical": oracles.dedup_keep_canonical(),
         "text_tfidf_topk": oracles.text_tfidf_topk(),
         "events_asof_join": oracles.events_asof_join(),

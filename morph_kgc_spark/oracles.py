@@ -1366,6 +1366,25 @@ FROM per_subject GROUP BY cset
 """
 
 
+def kg_void_stats() -> str:
+    """Twin of operators/kgstats.void_property_partition over the same
+    three-stream union as kg_characteristic_sets."""
+    return f"""
+WITH triples AS (
+  ({kg_typed_literals()})
+  UNION ALL
+  ({kg_customer_triples()})
+  UNION ALL
+  ({kg_rdf_type()})
+)
+SELECT predicate,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subject) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT object) AS BIGINT) AS n_objects
+FROM triples GROUP BY predicate
+"""
+
+
 def _clusters_over_pairs(pairs_sql: str) -> str:
     """Connected components (min reachable doc_id) over any (id_a,
     id_b) pair query — the recursive-CTE replay of operators/dedup.

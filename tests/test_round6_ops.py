@@ -245,3 +245,31 @@ def test_asof_join_tie_dedup_deterministic(spark):
     ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
     row = asof_join(left, right, "user_id").collect()[0]
     assert row.asof_event_id == 51
+
+
+# --- void_property_partition ------------------------------------------------
+
+def test_void_property_partition_counts(spark):
+    from morph_kgc_spark.operators.kgstats import void_property_partition
+    triples = spark.createDataFrame(
+        [
+            ("s1", "p:a", "o1"), ("s1", "p:a", "o1"),  # duplicate triple
+            ("s2", "p:a", "o2"),
+            ("s1", "p:b", "o1"),
+        ],
+        "subject string, predicate string, object string")
+    out = {r.predicate: (r.n_triples, r.n_subjects, r.n_objects)
+           for r in void_property_partition(triples).collect()}
+    # p:a carries 3 triples over 2 subjects and 2 distinct objects
+    assert out == {"p:a": (3, 2, 2), "p:b": (1, 1, 1)}
+
+
+def test_void_property_partition_single_aggregate(spark):
+    """One multi-distinct aggregate: the optimized plan has exactly one
+    logical Aggregate chain (Expand-based), no join or window."""
+    from morph_kgc_spark.operators.kgstats import void_property_partition
+    triples = spark.createDataFrame(
+        [("s", "p", "o")], "subject string, predicate string, object string")
+    plan = void_property_partition(triples)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
