@@ -704,6 +704,15 @@ def q_events_asof_join(spark, sf_dir):
                        "user_id")
 
 
+def q_text_quality_classifier(spark, sf_dir):
+    """Model-based quality filter: fastText-shaped linear scorer over
+    hashed unigram+bigram features with a deterministic integer weight
+    table (stand-in for trained params — same plan shape). Zero
+    shuffle, all int64, bit-identical across engines."""
+    return T.quality_classifier(_read(spark, sf_dir, "documents"),
+                                "doc_id", "text")
+
+
 def q_text_quality_gate(spark, sf_dir):
     """Gopher-rules composite filter: keep/reject + violated-rule names
     per doc, ratio rules compared cross-multiplied (engine-exact, no
@@ -968,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_quality_gate": q_text_quality_gate,
+        "text_quality_classifier": q_text_quality_classifier,
         "events_asof_join": q_events_asof_join,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
@@ -1039,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
             min_mean_word_len=2.5, max_mean_word_len=10.0,
             max_symbol_ratio=0.05,
             min_unique_fraction=0.2, min_stopword_hits=2),
+        "text_quality_classifier": oracles.text_quality_classifier(),
         "multimodal_decode_stats": oracles.multimodal_decode_stats(),
         "audio_decode_stats": oracles.audio_decode_stats(),
         "events_sessionize": oracles.events_sessionize(),

@@ -394,6 +394,53 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+CLASSIFIER_BUCKETS = 4096
+CLASSIFIER_MIX = 2654435761  # Knuth multiplicative constant
+CLASSIFIER_MOD = 1999        # prime → weights spread over [-999, 999]
+
+
+def quality_classifier(df: DataFrame, id_col: str, text_col: str, *,
+                       buckets: int = CLASSIFIER_BUCKETS) -> DataFrame:
+    """Linear bag-of-hashed-ngrams quality score — the fastText-shaped
+    "model-based filtering" stage modern pipelines run after the rule
+    gates (GPT-3's LR filter, CCNet's fastText stage): features are
+    unigrams + word bigrams hashed into ``buckets``, the score is the
+    sum of per-bucket weights, keep = non-negative score.
+
+    The weight table is DETERMINISTIC — weight(b) = (b·MIX) mod 1999 −
+    999 — standing in for trained parameters so the whole operator is
+    integer-exact and oracle-replayable; swapping in a real table is a
+    broadcast join or a literal array, same plan shape. All math stays
+    in int64 (max |b·MIX| ≈ 1.1e13), no floats, no libm: the score a
+    1000-executor cluster computes is bit-identical to DuckDB's.
+
+    Output: (id, n_features int, score_sum long, keep boolean).
+    Zero shuffle — one narrow projection, features never materialize
+    outside the row. NULL text → 0 features, score 0, keep=false (gate
+    closed, matching :func:`quality_gate`); empty tokens from doubled
+    spaces are dropped. Tokens are hashed case-sensitively — lowercase
+    upstream if desired (Java vs DuckDB Unicode case-folding differ on
+    exotic codepoints, so the operator does not fold for you).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.filter(tokens(txt), lambda x: x != "")
+    feats = F.concat(t, word_ngrams(t, 2))
+
+    def weight(f: Column) -> Column:
+        return F.pmod(h64(f), F.lit(buckets)) * F.lit(CLASSIFIER_MIX) \
+            % F.lit(CLASSIFIER_MOD) - F.lit((CLASSIFIER_MOD - 1) // 2)
+
+    n = F.size(feats)
+    score = F.aggregate(F.transform(feats, weight),
+                        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_features"),
+        score.alias("score_sum"),
+        ((n > 0) & (score >= 0)).alias("keep"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Position-weighted rolling document fingerprint mod P31.
 

@@ -1461,6 +1461,37 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def text_quality_classifier(buckets: int = 4096) -> str:
+    """Twin of operators/text.quality_classifier — same hashed
+    unigram+bigram features, same deterministic integer weight table
+    ((bucket·2654435761) mod 1999 − 999), all-int64 math."""
+    w = f"({h64_sql('x')} % {buckets}) * 2654435761 % 1999 - 999"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x != '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         t || list_transform(
+             generate_series(1, greatest(len(t) - 1, 0)),
+             i -> t[i] || ' ' || t[i+1]) AS f
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(f) AS INT) AS n_features,
+         CAST(coalesce(list_sum(list_transform(f, x -> {w})), 0) AS BIGINT)
+             AS score_sum
+  FROM feats
+)
+SELECT doc_id, n_features, score_sum,
+       (n_features > 0 AND score_sum >= 0) AS keep
+FROM scored
+"""
+
+
 def text_quality_gate(min_tokens: int = 50, max_tokens: int = 100_000,
                       min_mean_word_len: float = 3.0,
                       max_mean_word_len: float = 10.0,

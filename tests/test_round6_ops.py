@@ -273,3 +273,49 @@ def test_void_property_partition_single_aggregate(spark):
     plan = void_property_partition(triples)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
+
+
+# --- quality_classifier ------------------------------------------------------
+
+def test_quality_classifier_weight_math_pinned(spark):
+    """Replay the exact weight formula driver-side for one doc: features
+    are unigrams + bigrams, weight = (h64 % 4096)*MIX % 1999 - 999."""
+    import hashlib
+    from morph_kgc_spark.operators.text import (
+        CLASSIFIER_BUCKETS, CLASSIFIER_MIX, CLASSIFIER_MOD)
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def w(f):
+        return (h64(f) % CLASSIFIER_BUCKETS) * CLASSIFIER_MIX \
+            % CLASSIFIER_MOD - (CLASSIFIER_MOD - 1) // 2
+
+    text = "the cat sat"
+    feats = ["the", "cat", "sat", "the cat", "cat sat"]
+    expected = sum(w(f) for f in feats)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    row = T.quality_classifier(df, "doc_id", "text").collect()[0]
+    assert row.n_features == 5
+    assert row.score_sum == expected
+    assert row.keep == (expected >= 0)
+
+
+def test_quality_classifier_null_and_spacing(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a  b")],  # doubled space → no phantom token
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in
+           T.quality_classifier(df, "doc_id", "text").collect()}
+    assert out[1].n_features == 0 and out[1].score_sum == 0 and not out[1].keep
+    assert out[2].n_features == 0 and not out[2].keep
+    # "a  b" → tokens [a, b] (empty dropped) + bigram "a b" = 3 features
+    assert out[3].n_features == 3
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "x y")], "doc_id int, text string")
+    plan = T.quality_classifier(df, "doc_id", "text")._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan \
+        and "Window" not in plan
