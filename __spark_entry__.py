@@ -683,6 +683,18 @@ def q_kg_void_stats(spark, sf_dir):
     return void_property_partition(triples)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Continuous-ingestion dedup: the new batch (doc_id % 10 == 0)
+    is gated against the accumulated corpus (the rest) via MinHash
+    band-bucket collision; returns surviving batch ids. The corpus
+    stream is never shuffled past its signature aggregate — the tiny
+    batch bucket set is broadcast and probed map-side."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.incremental_dedup(docs.where(F.col("doc_id") % 10 != 0),
+                               docs.where(F.col("doc_id") % 10 == 0),
+                               "doc_id", "text")
+
+
 def q_dedup_keep_canonical(spark, sf_dir):
     """Dedup end-state: one survivor per MinHash-LSH connected
     component — longest text, min-id tiebreak — via a map-side-
@@ -975,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_characteristic_sets": q_kg_characteristic_sets,
         "kg_void_stats": q_kg_void_stats,
         "dedup_keep_canonical": q_dedup_keep_canonical,
+        "dedup_incremental": q_dedup_incremental,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_quality_gate": q_text_quality_gate,
         "text_quality_classifier": q_text_quality_classifier,
@@ -1042,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_characteristic_sets": oracles.kg_characteristic_sets(),
         "kg_void_stats": oracles.kg_void_stats(),
         "dedup_keep_canonical": oracles.dedup_keep_canonical(),
+        "dedup_incremental": oracles.dedup_incremental(),
         "text_tfidf_topk": oracles.text_tfidf_topk(),
         "events_asof_join": oracles.events_asof_join(),
         "text_quality_gate": oracles.text_quality_gate(

@@ -768,3 +768,55 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                 F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def _band_buckets(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """(id, band, bucket) MinHash-LSH band buckets — the same banding
+    as :func:`minhash_lsh_pairs` (4 bands × 4 rows, bucket = md5 of the
+    band's signature slice) without the pairing machinery, for callers
+    that probe buckets across TWO frames instead of within one."""
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    buckets = F.expr("array(%s)" % ", ".join(
+        "md5(concat_ws('|', %s))" % ", ".join(
+            f"CAST(sig_{b * LSH_ROWS + r} AS STRING)"
+            for r in range(LSH_ROWS))
+        for b in range(LSH_BANDS)))
+    return sigs.select(F.col(id_col), buckets.alias("bkts")).select(
+        F.col(id_col), F.col("bkts"),
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+    ).select(
+        id_col, "band",
+        F.element_at(F.col("bkts"), F.col("band") + 1).alias("bucket"),
+    )
+
+
+def incremental_dedup(index: DataFrame, batch: DataFrame,
+                      id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Incremental near-dup gate: drop NEW-batch documents whose
+    MinHash-LSH band bucket collides with ANY existing-corpus document;
+    return the surviving batch ids. This is the shape every continuous
+    ingestion pipeline needs — each crawl snapshot is deduped against
+    the accumulated corpus, not just against itself (within-batch dups
+    are :func:`minhash_lsh_pairs`'s job).
+
+    Scale shape: the CORPUS stream is never shuffled past its signature
+    aggregate — the batch's band buckets (4 rows per batch doc) are
+    BROADCAST and the corpus probes them map-side (inner broadcast-hash
+    join), so matched ids arrive as a stream bounded by collisions, are
+    distinct-ed at batch cardinality, and close with a broadcast
+    anti-join. At 100 TB the index signatures/buckets would be a stored
+    table partitioned by (band, bucket) — computed once per corpus, not
+    per batch; this function recomputes them only because it takes raw
+    text frames.
+    """
+    bb_batch = _band_buckets(batch, id_col, text_col, n) \
+        .withColumnRenamed(id_col, "__batch_id")
+    bb_index = _band_buckets(index, id_col, text_col, n)
+    matched = (
+        bb_index.join(F.broadcast(bb_batch), ["band", "bucket"], "inner")
+        .select(F.col("__batch_id").alias(id_col))
+        .distinct()
+    )
+    return (batch.select(id_col)
+            .join(F.broadcast(matched), id_col, "left_anti"))

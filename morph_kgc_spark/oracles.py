@@ -242,6 +242,45 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def dedup_incremental(batch_mod: int = 10) -> str:
+    """Twin of operators/dedup.incremental_dedup with the batch/index
+    split ``doc_id % batch_mod == 0`` vs the rest: surviving batch ids
+    after dropping any batch doc sharing a MinHash band bucket with an
+    index doc. Same banding as dedup_minhash_lsh."""
+    h = h64_sql("shingle")
+    sig_cols = ",\n         ".join(
+        f"min({perm_sql(h, i)}) AS sig_{i}" for i in range(N_PERMS)
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"CAST(sig_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_shingles_cte(3)},
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+matched AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN bands i ON b.band = i.band AND b.bucket = i.bucket
+  WHERE b.doc_id % {batch_mod} = 0 AND i.doc_id % {batch_mod} <> 0
+)
+SELECT doc_id FROM documents
+WHERE doc_id % {batch_mod} = 0
+  AND doc_id NOT IN (SELECT doc_id FROM matched)
+"""
+
+
 def dedup_minhash_capped(cap: int = 2) -> str:
     """Twin of minhash_lsh_pairs(bucket_cap=cap): buckets larger than
     ``cap`` contribute a star (min-id hub → each other member) instead

@@ -319,3 +319,50 @@ def test_quality_classifier_zero_shuffle(spark):
         .queryExecution().optimizedPlan().toString()
     assert "Join" not in plan and "Aggregate" not in plan \
         and "Window" not in plan
+
+
+# --- incremental_dedup --------------------------------------------------------
+
+def _inc_fixture(spark):
+    idx = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different document about spark pipelines")],
+        "doc_id long, text string")
+    # 10 = exact dup of idx 1, 11 = unique, 12 = empty text
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "completely novel content never seen in the corpus before"),
+         (12, "")],
+        "doc_id long, text string")
+    return idx, batch
+
+
+def test_incremental_dedup_drops_corpus_dups(spark):
+    idx, batch = _inc_fixture(spark)
+    out = sorted(r.doc_id for r in
+                 D.incremental_dedup(idx, batch, "doc_id", "text").collect())
+    assert out == [11, 12]  # 10 collides with 1; empty text survives
+
+
+def test_incremental_dedup_is_batch_vs_index_only(spark):
+    """Two identical docs WITHIN the batch are not each other's dup here
+    — within-batch dedup is minhash_lsh_pairs' job."""
+    idx = spark.createDataFrame([(1, "unrelated corpus doc")],
+                                "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "twin text inside the same batch only"),
+         (11, "twin text inside the same batch only")],
+        "doc_id long, text string")
+    out = sorted(r.doc_id for r in
+                 D.incremental_dedup(idx, batch, "doc_id", "text").collect())
+    assert out == [10, 11]
+
+
+def test_incremental_dedup_never_smj_over_index(spark):
+    """The corpus stream must be probed via broadcast joins — a sort-
+    merge join here would shuffle the whole index per batch."""
+    idx, batch = _inc_fixture(spark)
+    plan = D.incremental_dedup(idx, batch, "doc_id", "text")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
