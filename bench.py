@@ -166,7 +166,8 @@ def main() -> None:
         # the characteristic-set profile (an aggregate OVER triples,
         # not a materialization rule — it has no flagship counterpart)
         if name.startswith("kg_") and name not in ("kg_gather_bag",
-                                                   "kg_characteristic_sets"):
+                                                   "kg_characteristic_sets",
+                                                   "kg_void_stats"):
             continue
         fn = lazy_overrides.get(name, fn)
 
