@@ -183,3 +183,41 @@ def stream_url_dedup(pages_stream: DataFrame, url_col: str = "url",
     return (canon
             .withWatermark(time_col, watermark)
             .dropDuplicatesWithinWatermark(["canonical_url"]))
+
+
+def stream_incremental_dedup(docs_stream: DataFrame, index: DataFrame,
+                             out_dir: str, checkpoint_dir: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             available_now: bool = True):
+    """Streaming near-dup gate against a STATIC corpus index: each
+    micro-batch of incoming documents is filtered by
+    :func:`morph_kgc_spark.operators.dedup.incremental_dedup` — batch
+    docs whose MinHash band bucket collides with any index doc are
+    dropped; survivors land in ``out_dir``.
+
+    ``foreachBatch`` because the gate joins against a static frame and
+    ends in a broadcast anti-join — trivially per-batch semantics (a
+    doc's verdict depends only on itself and the index, never on other
+    stream rows), so the batch operator applies unmodified and its
+    correctness oracle carries over. Batch-vs-batch dups inside ONE
+    micro-batch are untouched (same contract as the batch operator);
+    cross-batch accumulation — appending survivors to the index so
+    LATER batches dedup against them — is the sink's compaction job in
+    a real deployment (the index would be a stored signature table,
+    re-read per batch via the registry's schema-invalidating reader).
+    Writes are idempotent: each batch overwrites its deterministic
+    ``{out_dir}/batch_id=<id>/`` partition, never appends.
+    """
+    from morph_kgc_spark.operators.dedup import incremental_dedup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = incremental_dedup(index, batch_df, id_col, text_col)
+        out = batch_df.join(survivors, id_col, "left_semi")
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    writer = (docs_stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

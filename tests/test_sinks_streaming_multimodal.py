@@ -361,3 +361,41 @@ def test_streaming_url_dedup(spark, tmp_path):
     rows = {r.canonical_url
             for r in spark.sql("select * from url_dedup_mem").collect()}
     assert rows == {"http://example.com/a", "https://other.org/b"}
+
+
+def test_streaming_incremental_dedup_e2e(spark, tmp_path):
+    """Streamed new docs gated against a static corpus index: per
+    micro-batch the result is SET-equal to the batch operator, writes
+    are idempotent (batch_id partitions), and survivors exclude every
+    doc colliding with the index."""
+    from morph_kgc_spark.operators.dedup import incremental_dedup
+    from morph_kgc_spark.streaming.pipeline import stream_incremental_dedup
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "inc_ckpt")
+
+    index = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different document about spark pipelines")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "completely novel content never seen in the corpus before"),
+         (12, "an entirely different document about spark pipelines"),
+         (13, "another genuinely fresh page with original words only")],
+        "doc_id long, text string")
+    batch.repartition(2).write.parquet(src)
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_incremental_dedup(stream, index, out, ckpt)
+    assert q.awaitTermination(120), "streaming incremental dedup hung"
+
+    sink = spark.read.parquet(out)
+    assert "batch_id" in sink.columns
+    got = sorted(r.doc_id for r in sink.collect())
+    want = sorted(r.doc_id for r in
+                  incremental_dedup(index, batch, "doc_id", "text")
+                  .collect())
+    assert got == want == [11, 13]
