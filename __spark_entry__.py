@@ -716,6 +716,22 @@ def q_events_asof_join(spark, sf_dir):
                        "user_id")
 
 
+def q_text_ngram_counts(spark, sf_dir):
+    """Corpus bigram frequency top-20 (count-based LM statistics):
+    explode → (doc, gram) tf → gram aggregate, all codegen with
+    map-side combine; global top-k executes as TakeOrdered."""
+    return T.ngram_counts_topk(_read(spark, sf_dir, "documents"),
+                               "doc_id", "text")
+
+
+def q_llm_length_histogram(spark, sf_dir):
+    """Token-length histogram in power-of-two buckets (batch-shape /
+    packing planning). Integer floor(log2) via length(bin(n)) — no
+    libm; one ~64-key aggregate."""
+    return T.length_histogram(_read(spark, sf_dir, "documents"),
+                              "doc_id", "text")
+
+
 def q_text_quality_classifier(spark, sf_dir):
     """Model-based quality filter: fastText-shaped linear scorer over
     hashed unigram+bigram features with a deterministic integer weight
@@ -991,6 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_quality_gate": q_text_quality_gate,
         "text_quality_classifier": q_text_quality_classifier,
+        "text_ngram_counts": q_text_ngram_counts,
+        "llm_length_histogram": q_llm_length_histogram,
         "events_asof_join": q_events_asof_join,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
@@ -1064,6 +1082,8 @@ def oracle_sql() -> dict[str, str]:
             max_symbol_ratio=0.05,
             min_unique_fraction=0.2, min_stopword_hits=2),
         "text_quality_classifier": oracles.text_quality_classifier(),
+        "text_ngram_counts": oracles.text_ngram_counts(),
+        "llm_length_histogram": oracles.llm_length_histogram(),
         "multimodal_decode_stats": oracles.multimodal_decode_stats(),
         "audio_decode_stats": oracles.audio_decode_stats(),
         "events_sessionize": oracles.events_sessionize(),

@@ -245,6 +245,81 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def ngram_counts_topk(df: DataFrame, id_col: str, text_col: str, *,
+                      n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level n-gram frequency top-k — the count-based LM /
+    corpus-statistics table (what a boilerplate detector, a stop-list
+    builder, or an n-gram LM trains from). Occurrences count WITH
+    multiplicity (unlike the dedup shingle stream, which dedups
+    per-doc) plus the number of distinct docs carrying the gram.
+
+    Output: (gram, n_occurrences, n_docs, rank), rank 1..k by count
+    desc with gram ASC tiebreak — deterministic top-k set.
+
+    Scale shape: explode → per-(doc, gram) aggregate → per-gram
+    aggregate, all whole-stage-codegen with map-side partial combine
+    (the same chain as :func:`tfidf_topk`'s tf/df legs; after the first
+    aggregate each row is one (doc, gram), so a plain ``count(*)`` IS
+    the distinct-doc count — no Expand, no countDistinct). The global
+    top-k is a sort-limit Spark executes as TakeOrdered: O(k) state per
+    partition + a k-row singleton reduce, never a full vocabulary sort;
+    the final rank numbering windows over exactly k rows.
+    """
+    from pyspark.sql import Window
+
+    t = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                 lambda x: x != "")
+    per_doc = (df.select(F.col(id_col),
+                         F.explode(word_ngrams(t, n)).alias("gram"))
+               .groupBy(id_col, "gram")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    agg = per_doc.groupBy("gram").agg(
+        F.sum("tf").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+    return (agg
+            .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w)))
+
+
+def length_histogram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token-length histogram in power-of-two buckets — the table a
+    training pipeline reads before choosing context length, packing
+    strategy, and per-bucket sampling rates (how much of the corpus is
+    short-tail vs long-document).
+
+    Output: (bucket_lo, bucket_hi, n_docs, total_tokens) with bucket
+    [2^i, 2^(i+1)) for i ≥ 0 and a dedicated [0, 0] bucket for empty
+    docs. The bucket index is ``length(bin(n)) − 1`` — integer-exact
+    floor(log2) via the binary-string length, no libm ``log2`` whose
+    rounding could flip a doc at a power-of-two boundary between
+    engines.
+
+    Scale shape: one narrow projection + one aggregate whose key
+    cardinality is ~64 (map-side combine leaves a few dozen rows per
+    partition); the exchange is negligible at any corpus size.
+    """
+    t = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                 lambda x: x != "")
+    ntok = F.size(t).cast("long")
+    # shiftleft's bit count must be a Column here → SQL-expr form
+    # (python F.shiftleft only accepts a literal int)
+    lo = F.when(F.col("__n") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(__n)) - 1)"))
+    return (df.select(ntok.alias("__n"))
+            .select(lo.alias("bucket_lo"), F.col("__n"))
+            .groupBy("bucket_lo")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__n").alias("total_tokens"))
+            .select("bucket_lo",
+                    F.when(F.col("bucket_lo") == 0, F.lit(0).cast("long"))
+                     .otherwise(F.col("bucket_lo") * 2 - 1)
+                     .alias("bucket_hi"),
+                    "n_docs", "total_tokens"))
+
+
 # GPT-2-style pretokenizer, simplified to syntax that means the same in
 # Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed
 # letter runs, digit runs, other-symbol runs. (The original uses \p{L}

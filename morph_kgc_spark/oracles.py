@@ -1500,6 +1500,66 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def text_ngram_counts(n: int = 2, k: int = 20) -> str:
+    """Twin of operators/text.ngram_counts_topk: corpus n-gram top-k
+    with multiplicity + distinct-doc counts, count-desc gram-asc."""
+    concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x != '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(t) - {n - 1}, 0)),
+             i -> {concat})) AS gram
+  FROM toks
+),
+per_doc AS (
+  SELECT doc_id, gram, count(*) AS tf FROM grams GROUP BY doc_id, gram
+),
+agg AS (
+  SELECT gram,
+         CAST(sum(tf) AS BIGINT) AS n_occurrences,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM per_doc GROUP BY gram
+)
+SELECT gram, n_occurrences, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, gram ASC)
+            AS INT) AS rank
+FROM agg
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT {k}
+"""
+
+
+def llm_length_histogram() -> str:
+    """Twin of operators/text.length_histogram: power-of-two token-count
+    buckets via integer floor(log2) = length(bin(n)) - 1."""
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x != '')) AS n
+  FROM documents
+),
+bucketed AS (
+  SELECT CASE WHEN n = 0 THEN 0
+              ELSE 1 << (length(bin(n)) - 1) END AS bucket_lo,
+         n
+  FROM toks
+)
+SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+       CAST(CASE WHEN bucket_lo = 0 THEN 0
+                 ELSE bucket_lo * 2 - 1 END AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM bucketed GROUP BY bucket_lo
+"""
+
+
 def text_quality_classifier(buckets: int = 4096) -> str:
     """Twin of operators/text.quality_classifier — same hashed
     unigram+bigram features, same deterministic integer weight table

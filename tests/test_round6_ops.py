@@ -366,3 +366,45 @@ def test_incremental_dedup_never_smj_over_index(spark):
         .queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- ngram_counts_topk / length_histogram -------------------------------------
+
+def test_ngram_counts_multiplicity_and_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b x")],  # "a b": 2 occurrences doc1 + 1 doc2
+        "doc_id int, text string")
+    out = {r.gram: (r.n_occurrences, r.n_docs, r.rank)
+           for r in T.ngram_counts_topk(df, "doc_id", "text", k=2).collect()}
+    assert out["a b"] == (3, 2, 1)
+    # "b a" and "b x" both occur once; tie broken gram ASC → "b a" wins k=2
+    assert out["b a"] == (1, 1, 2)
+    assert "b x" not in out
+
+
+def test_ngram_counts_tiebreak_gram_asc(spark):
+    df = spark.createDataFrame([(1, "z y"), (2, "a b")],
+                               "doc_id int, text string")
+    rows = T.ngram_counts_topk(df, "doc_id", "text", k=2).collect()
+    assert [(r.gram, r.rank) for r in rows] == [("a b", 1), ("z y", 2)]
+
+
+def test_length_histogram_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "a b c"), (4, "a b"), (5, None)],
+        "doc_id int, text string")
+    out = {r.bucket_lo: (r.bucket_hi, r.n_docs, r.total_tokens)
+           for r in T.length_histogram(df, "doc_id", "text").collect()}
+    # empty + NULL → [0,0]; 1 token → [1,1]; 2 and 3 tokens → [2,3]
+    assert out == {0: (0, 2, 0), 1: (1, 1, 1), 2: (3, 2, 5)}
+
+
+def test_length_histogram_power_of_two_boundary(spark):
+    """Docs of exactly 2^i tokens land in [2^i, ...], not below —
+    the libm-log2 edge the integer bucket avoids."""
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 8)), (2, " ".join(["w"] * 7))],
+        "doc_id int, text string")
+    out = {r.bucket_lo for r in
+           T.length_histogram(df, "doc_id", "text").collect()}
+    assert out == {8, 4}
