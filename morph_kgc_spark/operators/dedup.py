@@ -174,6 +174,19 @@ def _grouped_pairs(df: DataFrame, keys: list[str], item,
             .select(*extra, F.col("p.a").alias("a"), F.col("p.b").alias("b")))
 
 
+def _band_bucket_expr():
+    """Bucket-vector expression over a signature row: one md5 per LSH
+    band of its signature slice — the ONE place the banding scheme
+    (layout, hash, separator) is written; :func:`minhash_lsh_pairs`
+    and :func:`_band_buckets` both build from it, and the DuckDB twin
+    is oracles._minhash_bands_sql."""
+    return F.expr("array(%s)" % ", ".join(
+        "md5(concat_ws('|', %s))" % ", ".join(
+            f"CAST(sig_{b * LSH_ROWS + r} AS STRING)"
+            for r in range(LSH_ROWS))
+        for b in range(LSH_BANDS)))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, lazy: bool = False,
                       bucket_cap: int | None = None) -> DataFrame:
@@ -195,11 +208,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     buckets (see :func:`_grouped_pairs`).
     """
     sigs = minhash_signatures(df, id_col, text_col, n)
-    buckets = F.expr("array(%s)" % ", ".join(
-        "md5(concat_ws('|', %s))" % ", ".join(
-            f"CAST(sig_{b * LSH_ROWS + r} AS STRING)"
-            for r in range(LSH_ROWS))
-        for b in range(LSH_BANDS)))
+    buckets = _band_bucket_expr()
     # one explode of the band INDEX instead of LSH_BANDS unions (which
     # would recompute the signature projection per band); every item
     # carries its full bucket vector so cross-band dedup is a per-pair
@@ -777,12 +786,8 @@ def _band_buckets(df: DataFrame, id_col: str, text_col: str,
     band's signature slice) without the pairing machinery, for callers
     that probe buckets across TWO frames instead of within one."""
     sigs = minhash_signatures(df, id_col, text_col, n)
-    buckets = F.expr("array(%s)" % ", ".join(
-        "md5(concat_ws('|', %s))" % ", ".join(
-            f"CAST(sig_{b * LSH_ROWS + r} AS STRING)"
-            for r in range(LSH_ROWS))
-        for b in range(LSH_BANDS)))
-    return sigs.select(F.col(id_col), buckets.alias("bkts")).select(
+    return sigs.select(F.col(id_col),
+                       _band_bucket_expr().alias("bkts")).select(
         F.col(id_col), F.col("bkts"),
         F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
     ).select(

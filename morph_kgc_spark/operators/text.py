@@ -260,17 +260,31 @@ def ngram_counts_topk(df: DataFrame, id_col: str, text_col: str, *,
     aggregate, all whole-stage-codegen with map-side partial combine
     (the same chain as :func:`tfidf_topk`'s tf/df legs; after the first
     aggregate each row is one (doc, gram), so a plain ``count(*)`` IS
-    the distinct-doc count — no Expand, no countDistinct). The global
-    top-k is a sort-limit Spark executes as TakeOrdered: O(k) state per
-    partition + a k-row singleton reduce, never a full vocabulary sort;
-    the final rank numbering windows over exactly k rows.
+    the distinct-doc count — no Expand, no countDistinct). Tokens and
+    grams are materialized in separate projections and the explode is
+    ``explode_outer`` + null filter — the two Catalyst traps
+    (transform-lambda re-splitting, InferFiltersFromGenerate) that
+    :func:`~morph_kgc_spark.operators.dedup.shingle_arrays` /
+    :func:`~morph_kgc_spark.operators.dedup.shingles` document as
+    measured 20×. The (doc, gram) aggregate reuses the hash(id)
+    scan-parallelism exchange (a subset of its clustering keys). The
+    global top-k is a sort-limit Spark executes as TakeOrdered: O(k)
+    state per partition + a k-row singleton reduce, never a full
+    vocabulary sort; the final rank numbering windows over exactly
+    k rows.
     """
     from pyspark.sql import Window
 
-    t = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
-                 lambda x: x != "")
-    per_doc = (df.select(F.col(id_col),
-                         F.explode(word_ngrams(t, n)).alias("gram"))
+    tok = _parallelize_narrow(df, key=id_col).select(
+        F.col(id_col),
+        F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                 lambda x: x != "").alias("__tok"),
+    )
+    grams = tok.select(F.col(id_col),
+                       word_ngrams(F.col("__tok"), n).alias("__grams"))
+    per_doc = (grams.select(F.col(id_col),
+                            F.explode_outer("__grams").alias("gram"))
+               .where(F.col("gram").isNotNull())
                .groupBy(id_col, "gram")
                .agg(F.count(F.lit(1)).alias("tf")))
     agg = per_doc.groupBy("gram").agg(
@@ -490,27 +504,49 @@ def quality_classifier(df: DataFrame, id_col: str, text_col: str, *,
     1000-executor cluster computes is bit-identical to DuckDB's.
 
     Output: (id, n_features int, score_sum long, keep boolean).
-    Zero shuffle — one narrow projection, features never materialize
-    outside the row. NULL text → 0 features, score 0, keep=false (gate
-    closed, matching :func:`quality_gate`); empty tokens from doubled
-    spaces are dropped. Tokens are hashed case-sensitively — lowercase
-    upstream if desired (Java vs DuckDB Unicode case-folding differ on
-    exotic codepoints, so the operator does not fold for you).
+    NULL text → 0 features, score 0, keep=false (gate closed, matching
+    :func:`quality_gate`); empty tokens from doubled spaces are
+    dropped. Tokens are hashed case-sensitively — lowercase upstream if
+    desired (Java vs DuckDB Unicode case-folding differ on exotic
+    codepoints, so the operator does not fold for you).
+
+    Scale shape: tokens and features are MATERIALIZED in separate
+    projections (Catalyst does no CSE inside transform() lambdas —
+    inlining the token filter into word_ngrams would re-split the text
+    per element_at, the O(tokens²) trap :func:`~morph_kgc_spark.
+    operators.dedup.shingle_arrays` documents), then ``explode_outer``
+    (a plain explode lets InferFiltersFromGenerate push an interpreted
+    size()>0 filter below the projections — same file, same measured
+    20×) feeds ONE map-side-combinable aggregate keyed on the doc id,
+    with the md5 evaluated in whole-stage codegen on the exploded
+    stream — the formulation :func:`~morph_kgc_spark.operators.dedup.
+    minhash_signatures` measured ~8× faster than interpreted
+    per-element lambda hashing. The scan-parallelism repartition keys
+    on the doc id, so the aggregate reuses that exchange
+    (hash(id) satisfies the (id) clustering): one exchange total.
     """
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    t = F.filter(tokens(txt), lambda x: x != "")
-    feats = F.concat(t, word_ngrams(t, 2))
+    from morph_kgc_spark.functions.hashing import h64_spark_sql
 
-    def weight(f: Column) -> Column:
-        return F.pmod(h64(f), F.lit(buckets)) * F.lit(CLASSIFIER_MIX) \
-            % F.lit(CLASSIFIER_MOD) - F.lit((CLASSIFIER_MOD - 1) // 2)
-
-    n = F.size(feats)
-    score = F.aggregate(F.transform(feats, weight),
-                        F.lit(0).cast("long"), lambda acc, v: acc + v)
-    return df.select(
+    tok = _parallelize_narrow(df, key=id_col).select(
         F.col(id_col),
-        n.alias("n_features"),
+        F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                 lambda x: x != "").alias("__tok"),
+    )
+    feats = tok.select(
+        F.col(id_col),
+        F.concat(F.col("__tok"),
+                 word_ngrams(F.col("__tok"), 2)).alias("__feats"),
+    )
+    half = (CLASSIFIER_MOD - 1) // 2
+    weight = F.expr(
+        f"({h64_spark_sql('feat')} % {buckets}) * {CLASSIFIER_MIX}"
+        f" % {CLASSIFIER_MOD} - {half}")
+    ex = (feats.select(F.col(id_col), F.explode_outer("__feats").alias("feat"))
+          .select(F.col(id_col), F.col("feat"), weight.alias("__w")))
+    n = F.count("feat")       # ignores the NULL the outer explode emits
+    score = F.coalesce(F.sum("__w"), F.lit(0).cast("long"))
+    return ex.groupBy(id_col).agg(
+        n.cast("int").alias("n_features"),
         score.alias("score_sum"),
         ((n > 0) & (score >= 0)).alias("keep"),
     )

@@ -212,7 +212,10 @@ GROUP BY md5(text)
 """
 
 
-def dedup_minhash_lsh() -> str:
+def _minhash_bands_sql() -> tuple[str, str]:
+    """(signature column list, banded-bucket UNION) — the DuckDB twin
+    of the one banding scheme (dedup._band_bucket_expr), shared by
+    every minhash oracle so the scheme is written once per engine."""
     h = h64_sql("shingle")
     sig_cols = ",\n         ".join(
         f"min({perm_sql(h, i)}) AS sig_{i}" for i in range(N_PERMS)
@@ -225,7 +228,11 @@ def dedup_minhash_lsh() -> str:
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
         )
-    bands = "\nUNION ALL\n".join(band_selects)
+    return sig_cols, "\nUNION ALL\n".join(band_selects)
+
+
+def dedup_minhash_lsh() -> str:
+    sig_cols, bands = _minhash_bands_sql()
     return f"""
 WITH {_shingles_cte(3)},
 sigs AS (
@@ -247,19 +254,7 @@ def dedup_incremental(batch_mod: int = 10) -> str:
     split ``doc_id % batch_mod == 0`` vs the rest: surviving batch ids
     after dropping any batch doc sharing a MinHash band bucket with an
     index doc. Same banding as dedup_minhash_lsh."""
-    h = h64_sql("shingle")
-    sig_cols = ",\n         ".join(
-        f"min({perm_sql(h, i)}) AS sig_{i}" for i in range(N_PERMS)
-    )
-    band_selects = []
-    for b in range(LSH_BANDS):
-        cols = " || '|' || ".join(
-            f"CAST(sig_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
-        )
-    bands = "\nUNION ALL\n".join(band_selects)
+    sig_cols, bands = _minhash_bands_sql()
     return f"""
 WITH {_shingles_cte(3)},
 sigs AS (
@@ -287,19 +282,7 @@ def dedup_minhash_capped(cap: int = 2) -> str:
     of all pairs; under the cap the full pair set is unchanged. The
     hub condition ``a.doc_id = min(doc_id) OVER (bucket)`` combined
     with ``a.doc_id < b.doc_id`` yields exactly the star edges."""
-    h = h64_sql("shingle")
-    sig_cols = ",\n         ".join(
-        f"min({perm_sql(h, i)}) AS sig_{i}" for i in range(N_PERMS)
-    )
-    band_selects = []
-    for b in range(LSH_BANDS):
-        cols = " || '|' || ".join(
-            f"CAST(sig_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
-        )
-    bands = "\nUNION ALL\n".join(band_selects)
+    sig_cols, bands = _minhash_bands_sql()
     return f"""
 WITH {_shingles_cte(3)},
 sigs AS (

@@ -313,12 +313,20 @@ def test_quality_classifier_null_and_spacing(spark):
     assert out[3].n_features == 3
 
 
-def test_quality_classifier_zero_shuffle(spark):
+def test_quality_classifier_one_exchange(spark):
+    """explode_outer → one doc-keyed aggregate reusing the scan-
+    parallelism exchange: exactly ONE Exchange, no join/window, and the
+    md5 lives in the projection (codegen), not a transform lambda."""
     df = spark.createDataFrame([(1, "x y")], "doc_id int, text string")
     plan = T.quality_classifier(df, "doc_id", "text")._jdf \
-        .queryExecution().optimizedPlan().toString()
-    assert "Join" not in plan and "Aggregate" not in plan \
-        and "Window" not in plan
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1
+    # the md5 weight must be a Project over the exploded stream
+    # (codegen), never inside a transform/aggregate lambda body
+    md5_lines = [ln for ln in plan.splitlines() if "md5" in ln]
+    assert md5_lines and all(ln.lstrip().startswith(("+- Project", "Project"))
+                             for ln in md5_lines)
 
 
 # --- incremental_dedup --------------------------------------------------------
