@@ -683,6 +683,17 @@ def q_kg_void_stats(spark, sf_dir):
     return void_property_partition(triples)
 
 
+def q_kg_class_partition(spark, sf_dir):
+    """VoID class partition: instances per rdf:type class. The type
+    filter prunes before the exchange; final cardinality = ontology."""
+    from morph_kgc_spark.operators.kgstats import void_class_partition
+
+    triples = (q_kg_typed_literals(spark, sf_dir)
+               .unionAll(q_kg_customer_triples(spark, sf_dir))
+               .unionAll(q_kg_rdf_type(spark, sf_dir)))
+    return void_class_partition(triples)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Continuous-ingestion dedup: the new batch (doc_id % 10 == 0)
     is gated against the accumulated corpus (the rest) via MinHash
@@ -1002,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_repeated_passages": q_llm_repeated_passages,
         "kg_characteristic_sets": q_kg_characteristic_sets,
         "kg_void_stats": q_kg_void_stats,
+        "kg_class_partition": q_kg_class_partition,
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_incremental": q_dedup_incremental,
         "text_tfidf_topk": q_text_tfidf_topk,
@@ -1072,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_repeated_passages": oracles.llm_repeated_passages(),
         "kg_characteristic_sets": oracles.kg_characteristic_sets(),
         "kg_void_stats": oracles.kg_void_stats(),
+        "kg_class_partition": oracles.kg_class_partition(),
         "dedup_keep_canonical": oracles.dedup_keep_canonical(),
         "dedup_incremental": oracles.dedup_incremental(),
         "text_tfidf_topk": oracles.text_tfidf_topk(),

@@ -91,3 +91,30 @@ def void_property_partition(triples: DataFrame,
             F.countDistinct(object_col).alias("n_objects"),
         )
     )
+
+
+def void_class_partition(triples: DataFrame,
+                         subject_col: str = "subject",
+                         predicate_col: str = "predicate",
+                         object_col: str = "object",
+                         rdf_type: str =
+                         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+                         ) -> DataFrame:
+    """VoID class partition: one row per rdf:type object with its
+    instance count (``void:entities`` per ``void:classPartition``) —
+    the companion profile to :func:`void_property_partition`.
+
+    Scale shape: the type-predicate filter prunes the triple stream
+    BEFORE the exchange (predicate pushdown against a stored triple
+    table; typically ≤ a few % of triples are type assertions), then
+    one aggregate keyed on the class IRI — cardinality = ontology
+    size, never corpus-scale. distinct subjects == count(*) only if
+    the stream is already set-semantic, so both are reported.
+    """
+    return (
+        triples
+        .where(F.col(predicate_col) == rdf_type)
+        .groupBy(F.col(object_col).alias("class"))
+        .agg(F.count(F.lit(1)).alias("n_triples"),
+             F.countDistinct(subject_col).alias("n_entities"))
+    )

@@ -1407,6 +1407,26 @@ FROM triples GROUP BY predicate
 """
 
 
+def kg_class_partition() -> str:
+    """Twin of operators/kgstats.void_class_partition over the same
+    three-stream union (only kg_rdf_type contributes type triples)."""
+    return f"""
+WITH triples AS (
+  ({kg_typed_literals()})
+  UNION ALL
+  ({kg_customer_triples()})
+  UNION ALL
+  ({kg_rdf_type()})
+)
+SELECT object AS class,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subject) AS BIGINT) AS n_entities
+FROM triples
+WHERE predicate = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+GROUP BY object
+"""
+
+
 def _clusters_over_pairs(pairs_sql: str) -> str:
     """Connected components (min reachable doc_id) over any (id_a,
     id_b) pair query — the recursive-CTE replay of operators/dedup.

@@ -416,3 +416,16 @@ def test_length_histogram_power_of_two_boundary(spark):
     out = {r.bucket_lo for r in
            T.length_histogram(df, "doc_id", "text").collect()}
     assert out == {8, 4}
+
+
+def test_void_class_partition_multi_class(spark):
+    from morph_kgc_spark.operators.kgstats import void_class_partition
+    t = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    triples = spark.createDataFrame(
+        [("s1", t, "<C1>"), ("s1", t, "<C1>"),   # duplicate assertion
+         ("s2", t, "<C1>"), ("s3", t, "<C2>"),
+         ("s1", "<p>", "<C9>")],                  # non-type triple ignored
+        "subject string, predicate string, object string")
+    out = {getattr(r, "class"): (r.n_triples, r.n_entities)
+           for r in void_class_partition(triples).collect()}
+    assert out == {"<C1>": (3, 2), "<C2>": (1, 1)}
