@@ -429,3 +429,21 @@ def test_void_class_partition_multi_class(spark):
     out = {getattr(r, "class"): (r.n_triples, r.n_entities)
            for r in void_class_partition(triples).collect()}
     assert out == {"<C1>": (3, 2), "<C2>": (1, 1)}
+
+
+def test_ngram_counts_topk_is_takeordered(spark):
+    """The global top-k must execute as TakeOrdered (O(k) per
+    partition), never a full vocabulary sort."""
+    df = spark.createDataFrame([(1, "a b c"), (2, "b c d")],
+                               "doc_id int, text string")
+    plan = T.ngram_counts_topk(df, "doc_id", "text", k=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_length_histogram_single_aggregate_no_join(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    plan = T.length_histogram(df, "doc_id", "text")._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Aggregate") == 1  # one logical aggregate chain
