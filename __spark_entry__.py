@@ -64,6 +64,7 @@ def _utc(spark: SparkSession) -> None:
 
 
 def q_kg_customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship template expansion: customer rows → foaf:name literal triples."""
     rule = Rule(
         source=_pq(sf_dir, "customer"),
         subject=TermMap(TEMPLATE, EX + "customer/{c_name}", IRI),
@@ -74,6 +75,7 @@ def q_kg_customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_rdf_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-predicate rdf:type triples (termtype IRI end to end)."""
     rule = Rule(
         source=_pq(sf_dir, "supplier"),
         subject=TermMap(TEMPLATE, EX + "supplier/{s_suppkey}", IRI),
@@ -84,6 +86,7 @@ def q_kg_rdf_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datatyped literals (xsd:decimal / xsd:dateTime) with canonical lexical forms."""
     _utc(spark)
     reg = default_registry()
     orders = _read(spark, sf_dir, "orders").withColumn(
@@ -111,6 +114,7 @@ def q_kg_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_join_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referencing-object-map join (customer→nation), broadcast hash join."""
     rule = Rule(
         source=_pq(sf_dir, "customer"),
         subject=TermMap(TEMPLATE, EX + "customer/{c_custkey}", IRI),
@@ -123,6 +127,7 @@ def q_kg_join_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_language_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-tagged literals (@en suffix) from a language map."""
     rule = Rule(
         source=_pq(sf_dir, "documents"),
         subject=TermMap(TEMPLATE, EX + "doc/{doc_id}", IRI),
@@ -134,6 +139,7 @@ def q_kg_language_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_blank_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blank-node subject terms (_:label) materialized from a template."""
     rule = Rule(
         source=_pq(sf_dir, "region"),
         subject=TermMap(TEMPLATE, "region{r_regionkey}", BLANK_NODE),
@@ -144,6 +150,7 @@ def q_kg_blank_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping rules under global set semantics (cross-rule distinct)."""
     mk = lambda src, key: Rule(  # noqa: E731
         source=_pq(sf_dir, src),
         subject=TermMap(TEMPLATE, EX + "customer/{" + key + "}", IRI),
@@ -154,6 +161,7 @@ def q_kg_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_self_join_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-less referencing map: the same-source join eliminated into a projection."""
     # same logical source + identical join refs → the compiler's join-less
     # referencing-map path (reference: mapping_parser.py:807-831)
     rule = Rule(
@@ -166,6 +174,7 @@ def q_kg_self_join_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_lineitem_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handled referencing join: lineitem→orders with deterministic salting."""
     # skewed FK join driven through the explicit salted-join operator
     from morph_kgc_spark.plans.compiler import prepare_source
 
@@ -186,6 +195,7 @@ def q_kg_lineitem_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_ntriples_escaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples lexical escaping of control/quote/backslash characters in literals."""
     reg = default_registry()
     dirty = _read(spark, sf_dir, "customer").withColumn(
         "dirty", F.concat(F.col("c_mktsegment"), F.lit('\\"q"\n\t\'\b\f\r'))
@@ -425,6 +435,7 @@ def q_kg_gather_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF two-stage ANN over precomputed cells: centroid probe, then in-cell exact cosine."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return S.ivf_topk(emb, queries, "vec_id", "embedding", cell_col="label",
@@ -470,10 +481,12 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact text dedup: one md5 hash-aggregate emitting keeper id + dup count per content hash."""
     return D.exact_dedup(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (4 bands × 4 rows): one grouping shuffle, row-local cross-band dedup."""
     return D.minhash_lsh_pairs(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -497,19 +510,23 @@ def q_dedup_ngram_capped(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash per doc from token-hash per-bit majority votes, zero shuffle."""
     return D.simhash(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within a Hamming radius via pigeonhole-complete band blocking."""
     return D.simhash_pairs(_read(spark, sf_dir, "documents"), "doc_id", "text",
                            max_hamming=6)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard top-k pairs with a rare/hot document-frequency split."""
     return D.ngram_jaccard_topk(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: blocked all-pairs cosine with an SRP sub-split cap for oversized blocks."""
     # 0.3 is the near-dup knee for these synthetic embeddings (within-
     # label p99 cosine ≈ 0.29) — yields a small non-empty dup set
     return D.embedding_dup_pairs(_read(spark, sf_dir, "embeddings"),
@@ -538,29 +555,35 @@ def q_text_pii_scrub(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k per query vector — the exact ANN baseline; broadcast query set, index-ordered dot products."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
 def q_text_token_stats(spark, sf_dir):
+    """Token count / unique fraction / mean word length per doc, zero shuffle."""
     return T.token_stats(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def q_text_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counts via a GPT-2-style pretokenizer regex, zero shuffle."""
     return T.bpe_token_count(_read(spark, sf_dir, "documents"),
                              "doc_id", "text")
 
 
 def q_text_language_id(spark, sf_dir):
+    """N-gram-heuristic language ID via per-language stop-word hit counts, zero shuffle."""
     return T.language_id(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def q_text_quality_score(spark, sf_dir):
+    """Length/punctuation/stopword quality ratios per doc, zero shuffle."""
     return T.quality_score(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def q_text_fingerprint(spark, sf_dir):
+    """Deterministic rolling-hash document fingerprint per doc, zero shuffle."""
     return T.fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -852,6 +875,7 @@ def q_rollup_pricing_summary(spark, sf_dir):
 
 
 def q_rollup_top_customers(spark, sf_dir):
+    """Top-10 customers by revenue: one aggregate + TakeOrdered."""
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
     return (
@@ -867,11 +891,13 @@ def q_rollup_top_customers(spark, sf_dir):
 
 
 def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap session ids per user via one window over (user, ts)."""
     _utc(spark)
     return E.sessionize(_read(spark, sf_dir, "events"))
 
 
 def q_events_hourly_rollup(spark, sf_dir):
+    """Hourly event rollup per type: one map-side-combinable aggregate."""
     _utc(spark)
     return E.hourly_rollup(_read(spark, sf_dir, "events"))
 
