@@ -766,6 +766,15 @@ def q_llm_length_histogram(spark, sf_dir):
                               "doc_id", "text")
 
 
+def q_text_length_quantiles(spark, sf_dir):
+    """Per-language EXACT token-length quantiles (p25/p50/p90/max) —
+    exactness is scale-safe because the aggregate's state is bounded by
+    the token-count domain, not the corpus; bit-identical interpolation
+    in both engines."""
+    return T.length_quantiles(_read(spark, sf_dir, "documents"),
+                              "doc_id", "text", "lang")
+
+
 def q_text_quality_classifier(spark, sf_dir):
     """Model-based quality filter: fastText-shaped linear scorer over
     hashed unigram+bigram features with a deterministic integer weight
@@ -1046,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_gate": q_text_quality_gate,
         "text_quality_classifier": q_text_quality_classifier,
         "text_ngram_counts": q_text_ngram_counts,
+        "text_length_quantiles": q_text_length_quantiles,
         "llm_length_histogram": q_llm_length_histogram,
         "events_asof_join": q_events_asof_join,
         "multimodal_decode_stats": q_multimodal_decode_stats,
@@ -1122,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
             min_unique_fraction=0.2, min_stopword_hits=2),
         "text_quality_classifier": oracles.text_quality_classifier(),
         "text_ngram_counts": oracles.text_ngram_counts(),
+        "text_length_quantiles": oracles.text_length_quantiles(),
         "llm_length_histogram": oracles.llm_length_histogram(),
         "multimodal_decode_stats": oracles.multimodal_decode_stats(),
         "audio_decode_stats": oracles.audio_decode_stats(),

@@ -334,6 +334,34 @@ def length_histogram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     "n_docs", "total_tokens"))
 
 
+def length_quantiles(df: DataFrame, id_col: str, text_col: str,
+                     group_col: str = "lang") -> DataFrame:
+    """EXACT token-length quantiles per group (p25/p50/p90 + max) —
+    the per-language corpus-composition table behind context-length
+    and sampling-temperature choices.
+
+    Exact interpolated percentiles, not approx_percentile: sketches
+    (GK/t-digest) are engine-specific and would never hash-match an
+    oracle, and exactness is CHEAP here because the aggregated value
+    domain — token counts — is tiny (thousands of distinct lengths)
+    regardless of corpus size, so the per-group value-count state the
+    exact aggregate carries is bounded by the domain, not the corpus.
+    Both engines compute lo + (hi − lo)·frac over the sorted domain in
+    IEEE doubles → bit-identical (pinned by the oracle hash). One
+    map-side-combinable aggregate; group cardinality = languages.
+    """
+    t = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                 lambda x: x != "")
+    g = df.select(F.col(group_col), F.size(t).cast("long").alias("__n"))
+    return g.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(__n, 0.25)").alias("p25_tokens"),
+        F.expr("percentile(__n, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(__n, 0.9)").alias("p90_tokens"),
+        F.max("__n").alias("max_tokens"),
+    )
+
+
 # GPT-2-style pretokenizer, simplified to syntax that means the same in
 # Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed
 # letter runs, digit runs, other-symbol runs. (The original uses \p{L}

@@ -1563,6 +1563,27 @@ FROM bucketed GROUP BY bucket_lo
 """
 
 
+def text_length_quantiles() -> str:
+    """Twin of operators/text.length_quantiles: exact interpolated
+    quantiles (quantile_cont == Spark's percentile) over per-doc token
+    counts, grouped by lang."""
+    return """
+WITH toks AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                              x -> x != '')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       quantile_cont(n, 0.25) AS p25_tokens,
+       quantile_cont(n, 0.5) AS p50_tokens,
+       quantile_cont(n, 0.9) AS p90_tokens,
+       max(n) AS max_tokens
+FROM toks GROUP BY lang
+"""
+
+
 def text_quality_classifier(buckets: int = 4096) -> str:
     """Twin of operators/text.quality_classifier — same hashed
     unigram+bigram features, same deterministic integer weight table

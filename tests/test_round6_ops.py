@@ -447,3 +447,24 @@ def test_length_histogram_single_aggregate_no_join(spark):
         .queryExecution().optimizedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Aggregate") == 1  # one logical aggregate chain
+
+
+def test_length_quantiles_exact_interpolation(spark):
+    """percentile is the exact lo + (hi-lo)*frac interpolation over
+    sorted per-doc token counts — pinned against a hand computation."""
+    df = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * n)) for i, n in
+         enumerate([1, 2, 3, 4, 10])] + [(9, "fr", "a b")],
+        "doc_id long, lang string, text string")
+    out = {r.lang: r for r in
+           T.length_quantiles(df, "doc_id", "text", "lang").collect()}
+    en = out["en"]
+    # sorted [1,2,3,4,10]: p50 idx 2 -> 3; p90 idx 0.9*(5-1) -> between
+    # 4 and 10 — computed with the engine's own float steps (0.9*(n-1)
+    # is not exactly 3.6 in IEEE; the replay must use identical ops)
+    assert en.n_docs == 5 and en.p50_tokens == 3.0
+    idx = 0.9 * (5 - 1)
+    frac = idx - int(idx)
+    assert en.p90_tokens == 4 + frac * (10 - 4)
+    assert en.max_tokens == 10
+    assert out["fr"].p50_tokens == 2.0 and out["fr"].n_docs == 1
