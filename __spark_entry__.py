@@ -678,6 +678,14 @@ def q_curation_pipeline(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _kg_profile_triples(spark, sf_dir):
+    """The three-stream profile union the KG-profiling queries share —
+    written ONCE; its oracle twin is oracles._profile_triples_sql."""
+    return (q_kg_typed_literals(spark, sf_dir)
+            .unionAll(q_kg_customer_triples(spark, sf_dir))
+            .unionAll(q_kg_rdf_type(spark, sf_dir)))
+
+
 def q_kg_characteristic_sets(spark, sf_dir):
     """Characteristic-set profile (Neumann & Moerkotte, ICDE 2011) of a
     materialized graph: subjects grouped by their sorted distinct-
@@ -687,9 +695,7 @@ def q_kg_characteristic_sets(spark, sf_dir):
     then a cset aggregate whose cardinality is #distinct combinations."""
     from morph_kgc_spark.operators.kgstats import characteristic_sets
 
-    triples = (q_kg_typed_literals(spark, sf_dir)
-               .unionAll(q_kg_customer_triples(spark, sf_dir))
-               .unionAll(q_kg_rdf_type(spark, sf_dir)))
+    triples = _kg_profile_triples(spark, sf_dir)
     return characteristic_sets(triples)
 
 
@@ -700,9 +706,7 @@ def q_kg_void_stats(spark, sf_dir):
     aggregate; final exchange cardinality = predicate vocabulary."""
     from morph_kgc_spark.operators.kgstats import void_property_partition
 
-    triples = (q_kg_typed_literals(spark, sf_dir)
-               .unionAll(q_kg_customer_triples(spark, sf_dir))
-               .unionAll(q_kg_rdf_type(spark, sf_dir)))
+    triples = _kg_profile_triples(spark, sf_dir)
     return void_property_partition(triples)
 
 
@@ -711,9 +715,7 @@ def q_kg_class_partition(spark, sf_dir):
     filter prunes before the exchange; final cardinality = ontology."""
     from morph_kgc_spark.operators.kgstats import void_class_partition
 
-    triples = (q_kg_typed_literals(spark, sf_dir)
-               .unionAll(q_kg_customer_triples(spark, sf_dir))
-               .unionAll(q_kg_rdf_type(spark, sf_dir)))
+    triples = _kg_profile_triples(spark, sf_dir)
     return void_class_partition(triples)
 
 

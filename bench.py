@@ -167,7 +167,8 @@ def main() -> None:
         # not a materialization rule — it has no flagship counterpart)
         if name.startswith("kg_") and name not in ("kg_gather_bag",
                                                    "kg_characteristic_sets",
-                                                   "kg_void_stats"):
+                                                   "kg_void_stats",
+                                                   "kg_class_partition"):
             continue
         fn = lazy_overrides.get(name, fn)
 

@@ -1362,6 +1362,18 @@ FROM marked GROUP BY doc_id
 # ---------------------------------------------------------------------------
 
 
+def _profile_triples_sql() -> str:
+    """The three-stream profile union (typed literals + customer names
+    + rdf:type) — written ONCE; the KG-profiling oracles and their
+    Spark twins (__spark_entry__._kg_profile_triples) must stay in
+    lockstep on the stream list."""
+    return f"""  ({kg_typed_literals()})
+  UNION ALL
+  ({kg_customer_triples()})
+  UNION ALL
+  ({kg_rdf_type()})"""
+
+
 def kg_characteristic_sets() -> str:
     """Twin of operators/kgstats.characteristic_sets over the UNION ALL
     of three materialized streams (each internally distinct, mutually
@@ -1369,11 +1381,7 @@ def kg_characteristic_sets() -> str:
     materialize() results)."""
     return f"""
 WITH triples AS (
-  ({kg_typed_literals()})
-  UNION ALL
-  ({kg_customer_triples()})
-  UNION ALL
-  ({kg_rdf_type()})
+{_profile_triples_sql()}
 ),
 per_subject AS (
   SELECT subject,
@@ -1393,11 +1401,7 @@ def kg_void_stats() -> str:
     three-stream union as kg_characteristic_sets."""
     return f"""
 WITH triples AS (
-  ({kg_typed_literals()})
-  UNION ALL
-  ({kg_customer_triples()})
-  UNION ALL
-  ({kg_rdf_type()})
+{_profile_triples_sql()}
 )
 SELECT predicate,
        CAST(count(*) AS BIGINT) AS n_triples,
@@ -1412,11 +1416,7 @@ def kg_class_partition() -> str:
     three-stream union (only kg_rdf_type contributes type triples)."""
     return f"""
 WITH triples AS (
-  ({kg_typed_literals()})
-  UNION ALL
-  ({kg_customer_triples()})
-  UNION ALL
-  ({kg_rdf_type()})
+{_profile_triples_sql()}
 )
 SELECT object AS class,
        CAST(count(*) AS BIGINT) AS n_triples,
