@@ -786,6 +786,13 @@ def q_text_quality_classifier(spark, sf_dir):
                                 "doc_id", "text")
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel: per-stage min-timestamp
+    aggregates chained on user_id — co-partitioned joins, no
+    event-stream self-join, one timestamp of state per user."""
+    return E.funnel(_read(spark, sf_dir, "events"))
+
+
 def q_text_quality_gate(spark, sf_dir):
     """Gopher-rules composite filter: keep/reject + violated-rule names
     per doc, ratio rules compared cross-multiplied (engine-exact, no
@@ -1060,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles": q_text_length_quantiles,
         "llm_length_histogram": q_llm_length_histogram,
         "events_asof_join": q_events_asof_join,
+        "events_funnel": q_events_funnel,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "events_sessionize": q_events_sessionize,
@@ -1127,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": oracles.dedup_incremental(),
         "text_tfidf_topk": oracles.text_tfidf_topk(),
         "events_asof_join": oracles.events_asof_join(),
+        "events_funnel": oracles.events_funnel(),
         "text_quality_gate": oracles.text_quality_gate(
             min_tokens=30, max_tokens=100_000,
             min_mean_word_len=2.5, max_mean_word_len=10.0,

@@ -119,3 +119,47 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.col("__hit.__ats").alias("asof_ts"),
         *[F.col(f"__hit.{p}").alias(f"asof_{p}") for p in payload],
     )
+
+
+def funnel(df: DataFrame, stages: tuple[str, ...] = ("view", "click",
+                                                     "purchase"),
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel: how many users reach each stage IN SEQUENCE —
+    stage k counts a user only if their earliest stage-k event is
+    at-or-after their earliest qualifying stage-(k−1) event. The
+    canonical product-analytics progression query.
+
+    Output: (stage string, stage_no int, n_users long).
+
+    Scale shape: one filtered min-aggregate per stage, each keyed on
+    the user (map-side combinable; output ≤ one row per user), chained
+    by equi-joins on the SAME key — Spark co-partitions the chain on
+    user_id, so after the first exchange the joins are zero-shuffle,
+    and the final counts are tiny map-side-combined aggregates. No
+    windows, no event-stream self-join (an events×events join would be
+    quadratic in per-user activity at 100 TB; the per-stage min state
+    is one timestamp per user).
+    """
+    reached = None
+    counts = []
+    for i, stage in enumerate(stages):
+        ev = df.where(F.col(type_col) == stage)
+        if reached is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        else:
+            cur = (ev.join(reached, user_col)
+                   .where(F.col(ts_col) >= F.col("__t"))
+                   .groupBy(user_col)
+                   .agg(F.min(ts_col).alias("__t2"))
+                   .withColumnRenamed("__t2", "__t"))
+        reached = cur
+        counts.append(cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(i + 1).alias("stage_no"),
+            F.col("n_users"),
+        ))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out

@@ -1659,6 +1659,34 @@ SELECT doc_id, (violations = '') AS keep, violations FROM v
 """
 
 
+def events_funnel() -> str:
+    """Twin of operators/events.funnel over (view, click, purchase):
+    per stage, users whose earliest stage event is at-or-after their
+    earliest qualifying previous-stage event."""
+    return """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'view' AS stage, 1 AS stage_no,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click', 2, CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 'purchase', 3, CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+
 def events_asof_join() -> str:
     """Twin of operators/events.asof_join via DuckDB's NATIVE ASOF
     JOIN — the strongest possible oracle: a first-class engine

@@ -468,3 +468,25 @@ def test_length_quantiles_exact_interpolation(spark):
     assert en.p90_tokens == 4 + frac * (10 - 4)
     assert en.max_tokens == 10
     assert out["fr"].p50_tokens == 2.0 and out["fr"].n_docs == 1
+
+
+def test_funnel_requires_stage_order(spark):
+    """A click BEFORE the user's first view must not advance the
+    funnel; equal timestamps count (at-or-after semantics)."""
+    import datetime as dt
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)  # noqa: E731
+    rows = [
+        # u1: view@1 → click@2 → purchase@3: reaches all stages
+        (1, 1, t(1), "view"), (2, 1, t(2), "click"), (3, 1, t(3), "purchase"),
+        # u2: click@1 BEFORE view@2 → click never qualifies
+        (4, 2, t(1), "click"), (5, 2, t(2), "view"),
+        # u3: view and click at the SAME minute → qualifies (>=)
+        (6, 3, t(5), "view"), (7, 3, t(5), "click"),
+        # u4: purchase without click → stops at view
+        (8, 4, t(1), "view"), (9, 4, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    from morph_kgc_spark.operators.events import funnel
+    out = {r.stage: r.n_users for r in funnel(df).collect()}
+    assert out == {"view": 4, "click": 2, "purchase": 1}
