@@ -536,9 +536,16 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (min-label propagation)
     over banded SimHash pairs — the keep-one-per-cluster dedup policy."""
+    from morph_kgc_spark.operators import cache
+
     docs = _read(spark, sf_dir, "documents")
-    pairs = D.simhash_pairs(docs, "doc_id", "text", max_hamming=6)
-    return D.dup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    # lazy pairs: dup_clusters reads the pair stream exactly once (the
+    # edge build is a single-pass explode), so the eager 1.6M-row pair
+    # checkpoint write was pure overhead; the signature persist is
+    # chained onto the result for release-after-consumption
+    pairs = D.simhash_pairs(docs, "doc_id", "text", max_hamming=6, lazy=True)
+    return cache.own(D.dup_clusters(docs.select("doc_id"), pairs, "doc_id"),
+                     [pairs])
 
 
 def q_text_pii_scrub(spark, sf_dir):
@@ -737,9 +744,14 @@ def q_dedup_keep_canonical(spark, sf_dir):
     combinable min(struct(-score, id)) argmax (no window over a
     possibly-degenerate cluster). MinHash pairs, not SimHash, so this
     query does not re-pay dedup_clusters' candidate stage."""
+    from morph_kgc_spark.operators import cache
+
     docs = _read(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text")
-    return D.keep_canonical(docs, pairs, "doc_id", F.length("text"))
+    # lazy pairs: consumed exactly once by the clustering's single-pass
+    # edge build (see q_dedup_clusters)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", lazy=True)
+    return cache.own(D.keep_canonical(docs, pairs, "doc_id",
+                                      F.length("text")), [pairs])
 
 
 def q_events_asof_join(spark, sf_dir):

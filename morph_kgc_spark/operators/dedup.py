@@ -548,36 +548,56 @@ def ngram_capped_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
-                 max_iterations: int = 50) -> DataFrame:
+                 max_iterations: int = 50,
+                 broadcast_max_nodes: int | None = None) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id).
 
     ``cluster_id`` is the minimum member id of each component — the
     canonical survivor for a keep-one-per-cluster dedup policy.
     Min-label propagation to fixpoint: each round every node takes the
-    min of its own label and its neighbors' labels (one equi-join + one
-    groupBy per round), converging in O(component diameter) rounds —
-    near-dup clusters are dense and shallow, so 2-4 rounds in practice.
-    Each round ends in an EAGER ``localCheckpoint``: iterative joins
-    otherwise chain the entire lineage, and the logical plan grows until
-    plan processing itself blows up — the standard Spark iterative-
-    algorithm discipline (GraphX/Pregel does the same). The driver only
-    ever sees a changed-row COUNT.
+    min of its own label and its neighbors' labels, converging in
+    O(component diameter) rounds (pointer doubling makes it
+    O(log diameter)) — near-dup clusters are dense and shallow, so 2-4
+    rounds in practice. Each round ends in a ``localCheckpoint``:
+    iterative joins otherwise chain the entire lineage, and the logical
+    plan grows until plan processing itself blows up — the standard
+    Spark iterative-algorithm discipline (GraphX/Pregel does the same).
+    The driver only ever sees a changed-row COUNT.
 
-    At 10^10 nodes this is the standard iterative CC shape (cf.
-    large-star/small-star). The iteration runs over DUP-GRAPH NODES
-    ONLY — ids that never appear in a pair cannot change label, so they
-    skip the rounds entirely and are appended once at the end via one
-    anti-join (round 6: previously every round's join/aggregate/
-    checkpoint carried the whole corpus; at 100 TB the dup graph is
-    orders of magnitude smaller than the corpus, so per-round cost now
-    scales with |V(dup graph)|, not |corpus|). Components are computed
-    over the subgraph INDUCED ON ``ids``: pairs touching an id outside
-    ``ids`` are dropped up front (two semi-joins, paid once), so the
-    output has exactly one row per input id and every cluster_id is an
-    input id — the contract the pre-rewrite corpus-seeded iteration
-    enforced implicitly.
+    The iteration runs over DUP-GRAPH NODES ONLY — ids that never
+    appear in a pair cannot change label, so they skip the rounds
+    entirely and are appended once at the end via one anti-join (at
+    100 TB the dup graph is orders of magnitude smaller than the
+    corpus, so per-round cost scales with |V(dup graph)|, not
+    |corpus|). Components are computed over the subgraph INDUCED ON
+    ``ids``: pairs touching an id outside ``ids`` are dropped up front
+    (two broadcast-able semi-joins, paid once), so the output has
+    exactly one row per input id and every cluster_id is an input id.
+
+    Round-7 plan shape (guide §2.4/§3.1): the pair stream is read
+    ONCE — both edge directions come from a per-row 2-element explode,
+    not a self-union that recomputes the pair pipeline — and the edge
+    table is hash-partitioned on ``dst`` exactly once, then
+    checkpointed WITH that partitioning. The label table is one row per
+    dup-graph node, known exactly after one count; when it fits a
+    broadcast (``broadcast_max_nodes``, default 1M rows ≈ tens of MB,
+    env MORPH_KGC_CC_BROADCAST_MAX_NODES), every per-round join is a
+    map-side BroadcastHashJoin and the neighbor-min aggregate reuses
+    the edges' dst-partitioning — ZERO exchanges per round. Above the
+    threshold the rounds fall back to shuffle joins (the 100 TB shape),
+    where the dst-partitioned edge table still feeds the groupBy
+    exchange-free. The fixpoint — and therefore the output — is
+    identical in both modes; only the join strategy differs (the same
+    decision AQE makes from runtime sizes, taken here from the exact
+    node count because checkpointed RDDs carry no size statistics).
     """
+    import os
+
     from morph_kgc_spark.operators.cache import release
+
+    if broadcast_max_nodes is None:
+        broadcast_max_nodes = int(os.environ.get(
+            "MORPH_KGC_CC_BROADCAST_MAX_NODES", "1000000"))
 
     id_set = ids.select(F.col(id_col).alias("node"))
     pairs_in = (
@@ -585,38 +605,54 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
                    "left_semi")
         .join(id_set.withColumnRenamed("node", "id_b"), "id_b", "left_semi")
     )
-    # undirected: propagate both ways
-    e = pairs_in.select(F.col("id_a").alias("src"),
-                        F.col("id_b").alias("dst"))
-    edges = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
-    # lazy checkpoints: round 1's join+aggregate job fully scans both,
-    # materializing their blocks — no separate warm-up jobs needed
+    # undirected: both directions from ONE pass over the pair stream (a
+    # per-row explode of the 2 orientations); the old self-union read —
+    # and for lazy-mode pair inputs recomputed — the whole pair pipeline
+    # twice. Partitioned by dst ONCE so every round's neighbor-min
+    # aggregate reuses it (localCheckpoint preserves partitioning).
+    n_parts = ids.sparkSession.sparkContext.defaultParallelism
+    edges = (
+        pairs_in.select(F.explode(F.array(
+            F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst")
+        .repartition(n_parts, "dst")
+        .localCheckpoint(eager=False)
+    )
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("lbl"))
               .localCheckpoint(eager=False))
+    # one count materializes both checkpoints (labels scans edges) and
+    # yields the EXACT node count for the broadcast-vs-shuffle decision
+    n_nodes = labels.count()
+    bcast = (lambda df: F.broadcast(df)) if n_nodes <= broadcast_max_nodes \
+        else (lambda df: df)
 
     prev = labels
     for _ in range(max_iterations):
         neighbor_min = (
-            edges.join(labels, edges["src"] == labels["node"])
+            edges.join(bcast(labels), edges["src"] == labels["node"])
             .groupBy("dst").agg(F.min("lbl").alias("nlbl"))
         )
         merged = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["dst"],
-                        "left")
+            labels.join(bcast(neighbor_min),
+                        labels["node"] == neighbor_min["dst"], "left")
             .select(F.col("node"), F.col("lbl").alias("old_lbl"),
                     F.least(F.col("lbl"), F.coalesce(F.col("nlbl"),
                                                      F.col("lbl"))).alias("lbl"))
         )
         # pointer doubling: follow the label's own label (labels are
         # monotone decreasing, so lbl[lbl[x]] <= lbl[x]) — propagation
-        # distance doubles per round → O(log diameter) rounds
+        # distance doubles per round → O(log diameter) rounds. The hop
+        # side recomputes `merged`, but in broadcast mode that is a
+        # node-sized map-side plan (measured: hopping through the
+        # in-flight labels converges one round earlier than hopping
+        # through the previous round's).
         hop = merged.select(F.col("node").alias("h_node"),
                             F.col("lbl").alias("h_lbl"))
         new_labels = (
-            merged.join(hop, merged["lbl"] == hop["h_node"], "left")
+            merged.join(bcast(hop), merged["lbl"] == hop["h_node"], "left")
             .select(F.col("node"), F.col("old_lbl"),
                     F.least(F.col("lbl"), F.coalesce(F.col("h_lbl"),
                                                      F.col("lbl"))).alias("lbl"))
