@@ -25,11 +25,8 @@ Scale design:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType
 
 from morph_kgc_spark import model as M
 from morph_kgc_spark.operators.text import tokens, word_ngrams
@@ -92,25 +89,35 @@ def synthetic_pages(spark: SparkSession, n_pages: int,
     )
 
 
-@pandas_udf(StringType())
-def extract_text_udf(html: pd.Series) -> pd.Series:
-    """Arrow-batched HTML→text extraction, byte-identical per url.
+def extract_text_udf(html) -> F.Column:
+    """HTML→text extraction, byte-identical per url — pure JVM.
 
     The production twin would be a real boilerplate stripper
     (trafilatura-class); the contract it must satisfy — and the one the
     per-row invariant tests — is *byte-identical text per url across
     runs and engines*. Here the extractor inverts the known wrapper.
+
+    Round 7 (guide §4.1): this was an Arrow-batched pandas UDF — the
+    single biggest cold cost of the pipeline was shipping every html
+    blob JVM→Python→JVM. The same semantics compile to binary-slice +
+    decode expressions in whole-stage codegen: prefix/suffix checks are
+    binary-literal comparisons and the fallback decode replaces
+    malformed bytes exactly like Python's ``errors="replace"`` (the
+    caller sets ``spark.sql.legacy.codingErrorAction=true``; Spark 4's
+    default decode ERRORS on malformed input instead).
     """
+    col = F.col(html) if isinstance(html, str) else html
     pre, post = _HTML_PRE.encode(), _HTML_POST.encode()
-
-    def _one(b: bytes | None) -> str | None:
-        if b is None:
-            return None
-        if b.startswith(pre) and b.endswith(post):
-            return b[len(pre):-len(post)].decode("utf-8")
-        return b.decode("utf-8", errors="replace")
-
-    return html.map(_one)
+    n = F.octet_length(col)
+    wrapped = (
+        (n >= len(pre) + len(post))
+        & (F.substring(col, 1, len(pre)) == F.lit(pre))
+        & (F.substring(col, -len(post), len(post)) == F.lit(post))
+    )
+    middle = F.substring(col, F.lit(len(pre) + 1),
+                         n - F.lit(len(pre) + len(post)))
+    return F.when(wrapped, F.decode(middle, "UTF-8")) \
+            .otherwise(F.decode(col, "UTF-8"))
 
 
 def alias_dictionary(spark: SparkSession, n_entities: int = 256) -> DataFrame:
@@ -193,35 +200,35 @@ def detect_mentions(pages: DataFrame, aliases: DataFrame,
                .select("url", "text", "lang", "alias", "entity_iri", "prior")
 
 
-@pandas_udf(DoubleType())
-def _score_udf(text: pd.Series, alias: pd.Series, prior: pd.Series) -> pd.Series:
-    """Stage-2 EL scoring in Arrow batches: prior blended with a cheap
-    context feature (alias-token coverage of the page text)."""
-    t_tokens = text.str.split(" ")
-    a_tokens = alias.str.split(" ")
-    cover = [
-        (len(set(a) & set(t)) / len(a)) if a else 0.0
-        for a, t in zip(a_tokens, t_tokens)
-    ]
-    return 0.5 * prior + 0.5 * pd.Series(cover, index=prior.index)
+def _score_col(text, alias, prior) -> F.Column:
+    """Stage-2 EL scoring — prior blended with a cheap context feature
+    (alias-token coverage of the page text), pure JVM.
+
+    Round 7 (guide §4.1): this was an Arrow-batched pandas UDF; the
+    identical arithmetic — ``0.5·prior + 0.5·|set(alias_toks) ∩
+    set(text_toks)| / len(alias_toks)`` — is one ``array_intersect``
+    over the token splits (array_intersect returns the DISTINCT common
+    elements, exactly the python set intersection) and two IEEE double
+    ops, so scores are bit-identical to the UDF's and the window winner
+    below never moves.
+    """
+    cover = (F.size(F.array_intersect(F.split(alias, " "), F.split(text, " ")))
+             .cast("double")
+             / F.size(F.split(alias, " ")).cast("double"))
+    return 0.5 * prior + 0.5 * cover
 
 
 def link_entities(mentions: DataFrame) -> DataFrame:
     """Pick the best entity per (url, alias) by score (deterministic
-    tie-break on entity_iri). One shuffle on (url, alias).
-
-    The repartition BEFORE scoring is deliberate: candidate generation
-    (find_aliases UDF) and scoring are both pandas UDFs, and fused into
-    one stage they run as a chained py→JVM→py pipeline that serializes
-    badly (measured 8.7× slower at 16 cores). The exchange splits them
-    into two independent python stages AND pre-clusters exactly on the
-    window keys, so the row_number below needs no further shuffle.
+    tie-break on entity_iri). One shuffle on (url, alias) — the
+    window's own exchange; with scoring now a JVM expression (round 7)
+    the pre-scoring repartition that split the two pandas-UDF stages is
+    gone, and scoring fuses into the mention-detection stage.
     """
     from pyspark.sql.window import Window
 
-    n_parts = mentions.sparkSession.sparkContext.defaultParallelism * 2
-    scored = mentions.repartition(n_parts, "url", "alias").withColumn(
-        "score", _score_udf(F.col("text"), F.col("alias"), F.col("prior")))
+    scored = mentions.withColumn(
+        "score", _score_col(F.col("text"), F.col("alias"), F.col("prior")))
     w = Window.partitionBy("url", "alias").orderBy(
         F.col("score").desc(), F.col("entity_iri"))
     return (scored.withColumn("rk", F.row_number().over(w))
@@ -238,36 +245,56 @@ def pipeline_triples(spark: SparkSession, pages: DataFrame,
     Subjects/objects are canonicalized with the engine's template +
     percent-encode machinery (byte-identical to reference rules).
     """
+    # JVM decode must REPLACE malformed bytes (python errors="replace"
+    # parity); Spark 4's default decode errors out instead. Runtime SQL
+    # conf, scoped to this session, only affects encode/decode coding
+    # errors.
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
     extracted = pages.withColumn("etext", extract_text_udf(F.col("html")))
     linked = link_entities(detect_mentions(
         extracted.select("url", F.col("etext").alias("text"), "lang"), aliases))
     # two rules consume `linked`; without persist the whole
-    # extract→detect→score subtree (the python-heavy part) runs twice.
+    # extract→detect→score subtree runs twice. Round 7: persist ONLY the
+    # three columns the rules read — the page text (~10× the rest) was
+    # cached and rescanned by every downstream branch for nothing
+    # (guide §2.3 project-before-reuse).
     # The persist is scoped under the cache contract: it is attached to
     # the returned triples frame, and cache.release(result) frees it
     # after the caller consumes the output (eagerly checkpointing the
     # corpus-sized triple set here instead would be a write-cost spike
     # inside every pipeline run — hygiene is the caller's choice, same
     # policy as the lazy-mode pair dedup operators).
-    linked = linked.persist()
+    linked = linked.select("url", "alias", "entity_iri").persist()
+
+    # metadata rules never need the extracted text → a SLIM projection
+    # of the generated pages, persisted so the two metadata branches
+    # share ONE generation pass (previously each branch re-generated the
+    # 1M pages; guide §2.3). Released with the result like `linked`.
+    pages_slim = pages.select(
+        "url", "lang", F.col("warc_ts").cast("string").alias("warc_ts")) \
+        .persist()
 
     reg = SourceRegistry()
     reg.register("linked", linked)
-    # metadata rules never need the extracted text → read the raw pages
-    # table directly (no extract-UDF rerun on these branches)
-    reg.register("pages", pages.select(
-        "url", "lang", F.col("warc_ts").cast("string").alias("warc_ts")))
+    # the label rule only reads (entity_iri, alias): dedup those BEFORE
+    # rendering — distinct-then-render emits the same set as
+    # render-then-distinct (the term is a pure function of the two
+    # columns) but renders ~|entities| rows instead of |mentions|
+    reg.register("alias_pairs", linked.select("entity_iri", "alias").distinct())
+    reg.register("pages", pages_slim)
 
     page_tpl = "http://kg.example.org/page/{url}"
-    rules = [
+    linked_rules = [
         M.Rule(source=M.Source("df", "linked"),
                subject=M.TermMap(M.TEMPLATE, page_tpl, M.IRI),
                predicate=M.TermMap(M.CONSTANT, KG + "mentions", M.IRI),
                object=M.TermMap(M.REFERENCE, "entity_iri", M.IRI)),
-        M.Rule(source=M.Source("df", "linked"),
+        M.Rule(source=M.Source("df", "alias_pairs"),
                subject=M.TermMap(M.REFERENCE, "entity_iri", M.IRI),
                predicate=M.TermMap(M.CONSTANT, KG + "label", M.IRI),
                object=M.TermMap(M.REFERENCE, "alias", M.LITERAL)),
+    ]
+    meta_rules = [
         M.Rule(source=M.Source("df", "pages"),
                subject=M.TermMap(M.TEMPLATE, page_tpl, M.IRI),
                predicate=M.TermMap(M.CONSTANT, KG + "lang", M.IRI),
@@ -278,12 +305,23 @@ def pipeline_triples(spark: SparkSession, pages: DataFrame,
                object=M.TermMap(M.REFERENCE, "warc_ts", M.LITERAL),
                datatype=M.TermMap(M.CONSTANT, M.XSD_DATETIME, M.IRI)),
     ]
+    from morph_kgc_spark.plans.compiler import compile_rule
     from morph_kgc_spark.plans.partitioner import assign_mapping_partitions
 
     from morph_kgc_spark.operators.cache import own
 
-    return own(materialize_rules(spark, assign_mapping_partitions(rules), reg),
-               [linked])
+    out = materialize_rules(spark, assign_mapping_partitions(linked_rules),
+                            reg)
+    # the metadata branches are DISTINCT-FREE: url is unique per
+    # generated page (the generator keys every page by its row id), so
+    # one (subject, constant-predicate, object) triple per row can never
+    # duplicate — the per-group distinct exchange over 2M rendered
+    # triples bought nothing (guide §2.4 "a distinct on data that is
+    # already unique"). Their subject templates also cannot collide with
+    # the linked rules' outputs (different predicates).
+    for r in meta_rules:
+        out = out.unionAll(compile_rule(spark, r, reg, dedup_source=False))
+    return own(out, [linked, pages_slim])
 
 
 def run_pipeline(spark: SparkSession, n_pages: int = 100_000,
