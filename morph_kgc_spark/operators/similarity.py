@@ -196,21 +196,49 @@ def _farthest_point_seeds(v: DataFrame, k: int) -> list[list[float]]:
     seeds chosen so far, ties to the lowest id. No RNG — every engine
     and restart picks the same seeds, so the DuckDB oracle replays it.
 
-    One job per seed (a TakeOrderedAndProject collecting ONE row; the
-    min-distance is a zero-shuffle literal-centroid projection, same
-    shape as :func:`_with_cell`) — k-1 corpus scans total, the standard
-    farthest-point cost; the corpus is never collected.
+    One job per seed (a TakeOrderedAndProject collecting ONE row) — k-1
+    corpus scans total, the standard farthest-point cost; the corpus is
+    never collected.
+
+    Round 7 (guide §1.2 "don't compute things you throw away"): the
+    running min-distance is INCREMENTAL — each step's frame carries the
+    previous step's ``__d`` (persisted, so the scans read it from
+    memory) and folds in ONE new centroid distance via ``least``.
+    ``least(min(d_1..d_{i-1}), d_i) == min(d_1..d_i)`` exactly (IEEE
+    min is associative), so every argmax sees bit-identical values to
+    the re-evaluate-all-seeds formulation the DuckDB oracle replays —
+    but evaluates O(k) distance expressions per row over the whole
+    seeding instead of O(k²). Each step's TakeOrdered materializes the
+    new cached frame; the superseded one is unpersisted immediately.
     """
     first = v.orderBy("id").limit(1).collect()
     if not first:
         raise ValueError("kmeans_train: empty corpus")
     cents = [_check_finite(list(first[0].v), first[0].id)]
-    for _ in range(k - 1):
-        row = (v.withColumn(
-                   "__d", F.expr(f"array_min({_dist_array_sql(cents)})"))
-               .orderBy(F.col("__d").desc(), F.col("id"))
-               .limit(1).collect()[0])
-        cents.append(_check_finite(list(row.v), row.id))
+    cur = v.withColumn(
+        "__d", F.expr(f"array_min({_dist_array_sql(cents)})")).persist()
+    live = [cur]
+    try:
+        for i in range(k - 1):
+            # this TakeOrdered materializes `cur` (reading the previous
+            # step's cache), so only THEN is that previous step's frame
+            # safe to unpersist — dropping it earlier would force the
+            # whole least() chain to recompute from the raw corpus
+            row = (cur.orderBy(F.col("__d").desc(), F.col("id"))
+                   .limit(1).collect()[0])
+            if len(live) > 1:
+                live.pop(0).unpersist()
+            cents.append(_check_finite(list(row.v), row.id))
+            if i < k - 2:
+                cur = cur.withColumn(
+                    "__d",
+                    F.least(F.col("__d"), F.expr(
+                        f"array_min({_dist_array_sql(cents[-1:])})"))
+                ).persist()
+                live.append(cur)
+    finally:
+        for f in live:
+            f.unpersist()
     return cents
 
 
