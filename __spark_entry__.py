@@ -687,10 +687,43 @@ def q_curation_pipeline(spark, sf_dir):
 
 def _kg_profile_triples(spark, sf_dir):
     """The three-stream profile union the KG-profiling queries share —
-    written ONCE; its oracle twin is oracles._profile_triples_sql."""
-    return (q_kg_typed_literals(spark, sf_dir)
-            .unionAll(q_kg_customer_triples(spark, sf_dir))
-            .unionAll(q_kg_rdf_type(spark, sf_dir)))
+    written ONCE; its oracle twin is oracles._profile_triples_sql.
+
+    Round 7: ONE materialize() call over all four rules instead of
+    three separate calls unioned. The mapping partitioner assigns each
+    rule its own disjoint group (distinct predicates), so the per-group
+    distincts — and therefore the output multiset — are identical to
+    the three-call form (oracle hashes pinned), in one plan with one
+    registry. (Persisting the sources was tried and measured SLOWER:
+    the cache materializes every column of orders, defeating the
+    parquet scan's column pruning.)
+    """
+    _utc(spark)
+    reg = default_registry()
+    reg.register("orders_typed", _read(spark, sf_dir, "orders").withColumn(
+        "o_price", F.col("o_totalprice").cast("decimal(12,2)")))
+    src = Source("df", "orders_typed")
+    rules = [
+        Rule(source=src,
+             subject=TermMap(TEMPLATE, EX + "order/{o_orderkey}", IRI),
+             predicate=TermMap(CONSTANT, EX + "totalPrice", IRI),
+             object=TermMap(REFERENCE, "o_price", LITERAL),
+             datatype=TermMap(CONSTANT, XSD_DECIMAL, IRI)),
+        Rule(source=src,
+             subject=TermMap(TEMPLATE, EX + "order/{o_orderkey}", IRI),
+             predicate=TermMap(CONSTANT, EX + "orderDate", IRI),
+             object=TermMap(REFERENCE, "o_orderdate", LITERAL),
+             datatype=TermMap(CONSTANT, XSD_DATETIME, IRI)),
+        Rule(source=_pq(sf_dir, "customer"),
+             subject=TermMap(TEMPLATE, EX + "customer/{c_name}", IRI),
+             predicate=TermMap(CONSTANT, FOAF_NAME, IRI),
+             object=TermMap(REFERENCE, "c_name", LITERAL)),
+        Rule(source=_pq(sf_dir, "supplier"),
+             subject=TermMap(TEMPLATE, EX + "supplier/{s_suppkey}", IRI),
+             predicate=TermMap(CONSTANT, RDF_TYPE, IRI),
+             object=TermMap(CONSTANT, EX + "Supplier", IRI)),
+    ]
+    return materialize(spark, rules, registry=reg)
 
 
 def q_kg_characteristic_sets(spark, sf_dir):

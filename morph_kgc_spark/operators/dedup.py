@@ -326,6 +326,15 @@ def _simhash_pairs_from_sig(sig: DataFrame, id_col: str, max_hamming: int,
     # within-group quadratic into a single task, while the join streams
     # it through codegen across tasks. The persisted signature is shared
     # by both join sides (aliased self-join sides get no ReusedExchange).
+    #
+    # FIRST-MATCHING-BAND dedup (round 7): a pair sharing k bands comes
+    # out of the join k times; both full signatures ride on the joined
+    # row, so "is this the lowest matching band" is pure row-local bit
+    # arithmetic — a matching-band bitmask with no set bit below the
+    # join band — and the cross-band ``dropDuplicates`` exchange (at
+    # sf0.1: a 1.66M-pair shuffle, the operator's largest) disappears.
+    # Each qualifying pair is emitted exactly once, from its lowest
+    # matching band, so the output SET is unchanged.
     width = bits // n_bands
     mask = (1 << width) - 1
     bands = sig.select(
@@ -341,13 +350,19 @@ def _simhash_pairs_from_sig(sig: DataFrame, id_col: str, max_hamming: int,
                      "band", "val")
     b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
                      "band", "val")
+    match_mask = " + ".join(
+        f"(CASE WHEN (shiftright(sh_a, {bb * width}) & {mask}) = "
+        f"(shiftright(sh_b, {bb * width}) & {mask}) "
+        f"THEN {1 << bb}L ELSE 0L END)"
+        for bb in range(n_bands))
     return (
         a.join(b, on=["band", "val"], how="inner")
         .where(F.col("id_a") < F.col("id_b"))
+        .where(F.expr(
+            f"(({match_mask}) & (shiftleft(1L, band) - 1)) = 0"))
         .select("id_a", "id_b",
                 F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates()
     )
 
 
