@@ -386,20 +386,9 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
     """
     if rule.gather is not None:
         return _compile_gather_rule(spark, rule, load_source, na_values)
-    child_dedup = dedup_source
     if rule.parent_source is not None or rule.join_conditions \
             or rule.subject_join_conditions:
-        # JOIN rules: the PARENT side always dedups before the join —
-        # duplicate parent keys would multiply the join output before
-        # any distinct could collapse it. The CHILD side only dedups
-        # when no downstream distinct exists (round 7): duplicate child
-        # rows produce duplicate join rows that the per-group distinct
-        # collapses to the same set, so under set semantics the child
-        # pre-join dedup was a pure extra exchange over the big side
-        # (guide §2.4; on the flagship's lineitem rule: a 600k-row
-        # exchange for a PK-unique table).
-        child_dedup = dedup_source if not rule.quoted_object \
-            and not rule.quoted_subject else True
+        dedup_source = True
 
     # quoted map with join condition: the quoted rule's own source is
     # the join parent unless the caller set one explicitly (must happen
@@ -416,7 +405,7 @@ def compile_rule(spark: SparkSession, rule: M.Rule,
         base = spark.range(1)
     else:
         base = prepare_source(load_source(spark, rule.source), refs,
-                              na_values=na_values, dedup=child_dedup,
+                              na_values=na_values, dedup=dedup_source,
                               fill_missing=rule.source.kind in ("json", "xml"))
 
     col_prefix = ""
