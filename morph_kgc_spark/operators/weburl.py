@@ -178,9 +178,66 @@ def synth_urls(df: DataFrame, id_col: str) -> DataFrame:
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url",
                       out_col: str = "canonical_url") -> DataFrame:
-    """Append the canonical form of ``url_col`` — zero-shuffle."""
-    return df.withColumn(
-        out_col, F.expr(canonical_url_sql("spark", url_col)))
+    """Append the canonical form of ``url_col`` — zero-shuffle.
+
+    Round 7: STAGED through intermediate projections instead of one
+    monolithic expression. ``canonical_url_sql`` textually nests the
+    fragment-stripped url ~4× and the hostport ~3×, so the single-expr
+    form re-ran those regexes per use (and the analyzer/codegen paid
+    for the duplicated tree on every plan build). Each stage aliases a
+    non-cheap expression used multiply downstream, which CollapseProject
+    deliberately does NOT re-inline. Values are identical — the same
+    template renders each stage, just over a materialized column — and
+    the DuckDB oracle keeps replaying the original one-shot SQL.
+    """
+    f = _fns("spark")
+    RE = f["re"]
+    # stage 1: fragment-stripped url (used by scheme/hostport/rest/query)
+    out = df.withColumn("__cu_u", F.expr(RE(f"({url_col})", "#.*$", "")))
+    # stage 2: components off __cu_u
+    scheme = ("lower(coalesce(regexp_extract(__cu_u, '^([A-Za-z]+)://', 1),"
+              " ''))")
+    hostport = ("lower(coalesce(regexp_extract(__cu_u, "
+                "'^[A-Za-z]+://([^/?#]*)', 1), ''))")
+    hostport = RE(hostport, "^www\\.", "")
+    rest = RE("__cu_u", "^[A-Za-z]+://[^/?#]*", "")
+    query = "coalesce(regexp_extract(__cu_u, '[?](.*)', 1), '')"
+    out = out.withColumn("__cu_scheme", F.expr(scheme)) \
+             .withColumn("__cu_hostport", F.expr(hostport)) \
+             .withColumn("__cu_rest", F.expr(rest)) \
+             .withColumn("__cu_query", F.expr(query))
+    # stage 3: host (scheme-dependent default-port strip), path passes
+    host = ("(CASE WHEN __cu_scheme = 'http' THEN "
+            + RE("__cu_hostport", ":80$", "")
+            + " WHEN __cu_scheme = 'https' THEN "
+            + RE("__cu_hostport", ":443$", "")
+            + " ELSE __cu_hostport END)")
+    path = "coalesce(regexp_extract(__cu_rest, '^([^?]*)', 1), '')"
+    path = RE(path, "/{2,}", "/")
+    path = RE(RE(path, "/\\./", "/"), "/\\./", "/")  # 2 bounded passes
+    path = RE(RE(path, "/[^/.][^/]*/\\.\\./", "/"),
+              "/[^/.][^/]*/\\.\\./", "/")
+    out = out.withColumn("__cu_host", F.expr(host)) \
+             .withColumn("__cu_path0", F.expr(path))
+    path_final = ("(CASE WHEN __cu_path0 = '' THEN '/' "
+                  "WHEN __cu_path0 <> '/' AND substring(__cu_path0, "
+                  "length(__cu_path0), 1) = '/' THEN substring(__cu_path0, "
+                  "1, length(__cu_path0) - 1) ELSE __cu_path0 END)")
+    keep = ("x -> NOT (x = '' OR "
+            + " OR ".join(
+                [f"substring(x, 1, {len(p)}) = '{p}'"
+                 for p in _TRACKING_PREFIXES]
+                + [f"substring(x, 1, {len(p) + 1}) = '{p}='"
+                   for p in _TRACKING_PARAMS])
+            + ")")
+    params = f["sort"](f["filter"](f["split"]("__cu_query", "&"), keep))
+    qjoin = f"coalesce({f['join'](params, '&')}, '')"
+    out = out.withColumn("__cu_qjoin", F.expr(qjoin))
+    qfinal = "(CASE WHEN __cu_qjoin = '' THEN '' ELSE '?' || __cu_qjoin END)"
+    return (out.withColumn(out_col, F.expr(
+        f"(__cu_scheme || '://' || __cu_host || {path_final} || {qfinal})"))
+        .drop("__cu_u", "__cu_scheme", "__cu_hostport", "__cu_rest",
+              "__cu_query", "__cu_host", "__cu_path0", "__cu_qjoin"))
 
 
 def url_dedup(df: DataFrame, id_col: str, url_col: str = "url") -> DataFrame:
