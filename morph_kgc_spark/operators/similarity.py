@@ -334,9 +334,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     element-wise avg — deterministic (sum of doubles per partition is
     made order-stable by aggregating in cell, position order).
     """
+    from morph_kgc_spark.operators import cache
+
+    # the prepared corpus feeds BOTH the centroid aggregate and the
+    # in-cell scoring join — persist it so the cell-assignment /
+    # cast work runs once (round 7; at production scale this is the
+    # stored IVF index table, computed once, not per query). Released
+    # with the result under the cache contract.
     c = _parallelize_narrow(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(cell_col).alias("cell"),
-        F.col(vec_col).cast("array<double>").alias("cv"))
+        F.col(vec_col).cast("array<double>").alias("cv")).persist()
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
 
@@ -365,6 +372,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 F.round(_dot("qv", "cv"), 6).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+    return cache.own(
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim"), [c])
