@@ -423,6 +423,12 @@ def q_kg_gather_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(f"<{EX}order/"), F.col("o_orderkey").cast("string"),
                  F.lit(">")).alias("o_iri"),
     )
+    # NO trailing .distinct() (round 7, guide §2.4 "a distinct on data
+    # that is already unique"): o_orderkey is the orders PRIMARY KEY, so
+    # each (customer, order) membership triple and each per-customer
+    # head/type triple is emitted exactly once — verified raw == distinct
+    # counts at sf0.01 and sf0.1; the DuckDB oracle's own DISTINCT is a
+    # no-op over the same set, so hashes are unchanged.
     return gather_triples(
         orders,
         subject_col=F.concat(F.lit(f"<{EX}customer/"), F.col("ck"), F.lit(">")),
@@ -431,7 +437,7 @@ def q_kg_gather_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
         gather_as=RDF_BAG,
         value_termtype=None,  # values are pre-built lexical IRIs
         head_col=F.concat(F.lit(f"<{EX}orderbag/"), F.col("ck"), F.lit(">")),
-    ).distinct()
+    )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
