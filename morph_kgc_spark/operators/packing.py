@@ -55,8 +55,13 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
             f"overlap ({overlap}) must be smaller than chunk_tokens "
             f"({chunk_tokens}) or the window sequence never advances")
     step = chunk_tokens - overlap
+    # coalesce NULL text to '' (round-6 ADVICE): a NULL-text doc must
+    # yield the documented single empty chunk, not NULL chunk fields —
+    # same convention as quality_gate/quality_classifier. No effect on
+    # non-null rows.
     toks = _parallelize_narrow(
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t")))
+        df.select(F.col(id_col),
+                  tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t")))
     toks = toks.withColumn("__n", F.size("__t"))
     starts = F.sequence(
         F.lit(1),
