@@ -986,10 +986,17 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     — measured 2.7× on this workload)."""
     _utc(spark)
     reg = default_registry(persist_sources=True)
+    # registered frames carry ONLY the columns their rules reference:
+    # persist_sources materializes every column of the registered frame
+    # (an InMemoryRelation has no scan-level pruning at build time), so
+    # the full-width orders/customer projections were cached for nothing
+    # (round 7, guide §2.3)
     reg.register("orders_typed", _read(spark, sf_dir, "orders").withColumn(
-        "o_price", F.col("o_totalprice").cast("decimal(12,2)")))
+        "o_price", F.col("o_totalprice").cast("decimal(12,2)"))
+        .select("o_orderkey", "o_price", "o_orderdate"))
     reg.register("customer_dirty", _read(spark, sf_dir, "customer").withColumn(
-        "dirty", F.concat(F.col("c_mktsegment"), F.lit('\\"q"\n\t\'\b\f\r'))))
+        "dirty", F.concat(F.col("c_mktsegment"), F.lit('\\"q"\n\t\'\b\f\r')))
+        .select("c_custkey", "dirty"))
 
     mk_type = lambda src, key: Rule(  # noqa: E731
         source=_pq(sf_dir, src),
