@@ -107,9 +107,10 @@ def main() -> None:
     with open(os.path.join(REPO, "SCALING_LATEST.md"), "w") as f:
         f.write(f"""# Scaling evidence (north rule)
 
-Job: full KG-construction web pipeline (synthetic pages → Arrow-UDF
-text extraction → token-aligned mention detection → broadcast-dict
-candidate gen → pandas-UDF EL scoring → template expansion → distinct),
+Job: full KG-construction web pipeline (synthetic pages → JVM
+binary-slice text extraction → token-aligned mention detection →
+broadcast-dict candidate gen → JVM array-intersect EL scoring →
+template expansion → distinct; python-free since round 7),
 {pages:,} pages → {triples:,} triples. Sandbox proxy for N vs 4N
 executors per driver instruction: `local[{n_lo}]` vs `local[{n_hi}]`,
 {repeats} timed trials per level after warmup (host has shifting
