@@ -643,8 +643,13 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
         .repartition(n_parts, "dst")
         .localCheckpoint(eager=False)
     )
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .select("node", F.col("node").alias("lbl"))
+    # label init FUSED with the first neighbor-min half-round:
+    # lbl_0(x) = min(x, min over neighbors) comes out of the same
+    # aggregate that would otherwise just distinct the node set (every
+    # node appears as src since edges carry both directions), so the
+    # iteration starts one propagation step ahead for free (round 7)
+    labels = (edges.groupBy(F.col("dst").alias("node"))
+              .agg(F.least(F.col("dst"), F.min("src")).alias("lbl"))
               .localCheckpoint(eager=False))
     # one count materializes both checkpoints (labels scans edges) and
     # yields the EXACT node count for the broadcast-vs-shuffle decision
