@@ -542,16 +542,13 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (min-label propagation)
     over banded SimHash pairs — the keep-one-per-cluster dedup policy."""
-    from morph_kgc_spark.operators import cache
-
     docs = _read(spark, sf_dir, "documents")
-    # lazy pairs: dup_clusters reads the pair stream exactly once (the
-    # edge build is a single-pass explode), so the eager 1.6M-row pair
-    # checkpoint write was pure overhead; the signature persist is
-    # chained onto the result for release-after-consumption
-    pairs = D.simhash_pairs(docs, "doc_id", "text", max_hamming=6, lazy=True)
-    return cache.own(D.dup_clusters(docs.select("doc_id"), pairs, "doc_id"),
-                     [pairs])
+    # signature-contracted composition (round 7): identical output to
+    # simhash_pairs -> dup_clusters — equal-signature docs contract into
+    # their min-id representative before the banded pair join — but the
+    # dup graph shrinks by the duplicate-signature mass, which is what
+    # keeps the dense sf1.0 corpus (164M raw pairs) inside memory
+    return D.simhash_dup_clusters(docs, "doc_id", "text", max_hamming=6)
 
 
 def q_text_pii_scrub(spark, sf_dir):

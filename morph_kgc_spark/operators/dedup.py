@@ -572,7 +572,8 @@ def ngram_capped_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
                  max_iterations: int = 50,
-                 broadcast_max_nodes: int | None = None) -> DataFrame:
+                 broadcast_max_nodes: int | None = None,
+                 dense: bool | None = None) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id).
 
     ``cluster_id`` is the minimum member id of each component — the
@@ -598,21 +599,20 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
     exactly one row per input id and every cluster_id is an input id.
 
     Round-7 plan shape (guide §2.4/§3.1): the pair stream is read
-    ONCE — both edge directions come from a per-row 2-element explode,
-    not a self-union that recomputes the pair pipeline — and the edge
-    table is hash-partitioned on ``dst`` exactly once, then
-    checkpointed WITH that partitioning. The label table is one row per
-    dup-graph node, known exactly after one count; when it fits a
-    broadcast (``broadcast_max_nodes``, default 1M rows ≈ tens of MB,
-    env MORPH_KGC_CC_BROADCAST_MAX_NODES), every per-round join is a
-    map-side BroadcastHashJoin and the neighbor-min aggregate reuses
-    the edges' dst-partitioning — ZERO exchanges per round. Above the
-    threshold the rounds fall back to shuffle joins (the 100 TB shape),
-    where the dst-partitioned edge table still feeds the groupBy
-    exchange-free. The fixpoint — and therefore the output — is
-    identical in both modes; only the join strategy differs (the same
-    decision AQE makes from runtime sizes, taken here from the exact
-    node count because checkpointed RDDs carry no size statistics).
+    ONCE; the edge table is hash-partitioned on ``dst`` exactly once,
+    then checkpointed WITH that partitioning (sparse/dense storage
+    tiering is documented at the decision site below). The label table
+    is one row per dup-graph node, known exactly after one count; when
+    it fits a broadcast (``broadcast_max_nodes``, default 1M rows ≈
+    tens of MB, env MORPH_KGC_CC_BROADCAST_MAX_NODES), every per-round
+    join is a map-side BroadcastHashJoin and the dst-side neighbor-min
+    aggregate reuses the edges' partitioning — ZERO exchanges per
+    sparse-mode round. Above the threshold the rounds fall back to
+    shuffle joins (the 100 TB shape). The fixpoint — and therefore the
+    output — is identical in every mode; only storage layout and join
+    strategy differ (the decisions AQE would make from runtime sizes,
+    taken here from exact counts because checkpointed RDDs carry no
+    size statistics).
     """
     import os
 
@@ -628,44 +628,101 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
                    "left_semi")
         .join(id_set.withColumnRenamed("node", "id_b"), "id_b", "left_semi")
     )
-    # undirected: both directions from ONE pass over the pair stream (a
-    # per-row explode of the 2 orientations); the old self-union read —
-    # and for lazy-mode pair inputs recomputed — the whole pair pipeline
-    # twice. Partitioned by dst ONCE so every round's neighbor-min
-    # aggregate reuses it (localCheckpoint preserves partitioning).
+    # EDGE STORAGE is tiered (round 7, sf1.0 hardening): the dense
+    # synthetic corpus reaches 10^8 true pairs at sf1.0 and a doubled
+    # (both orientations) edge checkpoint OOMed a 16 GB local heap.
+    # SPARSE graphs (≤ MORPH_KGC_CC_DUAL_EDGE_MAX stored pairs, default
+    # 25M) store both directions — per-round neighbor-min is then ONE
+    # partitioning-reusing aggregate; DENSE graphs keep a single
+    # direction (half the storage) and each round aggregates BOTH sides
+    # of it (two scans of half the data: same bytes read, two extra
+    # node-sized exchanges). ``dense=None`` decides from a staging
+    # checkpoint's exact count; callers that can bound the edge count
+    # up front (simhash_dup_clusters's banded candidate bound) pass the
+    # regime explicitly and skip the staging pass. The fixpoint — and
+    # therefore the output — is identical in every mode.
+    dual_edge_max = int(os.environ.get(
+        "MORPH_KGC_CC_DUAL_EDGE_MAX", "25000000"))
     n_parts = ids.sparkSession.sparkContext.defaultParallelism
-    edges = (
-        pairs_in.select(F.explode(F.array(
-            F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-            F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
-        )).alias("e"))
-        .select("e.src", "e.dst")
-        .repartition(n_parts, "dst")
-        .localCheckpoint(eager=False)
-    )
+    if dense is None:
+        edges1 = (
+            pairs_in.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"))
+            .repartition(n_parts, "dst")
+            .localCheckpoint(eager=False)
+        )
+        dense = edges1.count() > dual_edge_max
+        src = edges1
+    else:
+        edges1 = None
+        src = pairs_in.select(F.col("id_a").alias("src"),
+                              F.col("id_b").alias("dst"))
+    if dense:
+        edges = src if edges1 is not None else (
+            src.repartition(n_parts, "dst").localCheckpoint(eager=False))
+    else:
+        edges = (
+            src.select(F.explode(F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")),
+            )).alias("e"))
+            .select("e.src", "e.dst")
+            .repartition(n_parts, "dst")
+            .localCheckpoint(eager=False)
+        )
     # label init FUSED with the first neighbor-min half-round:
     # lbl_0(x) = min(x, min over neighbors) comes out of the same
-    # aggregate that would otherwise just distinct the node set (every
-    # node appears as src since edges carry both directions), so the
-    # iteration starts one propagation step ahead for free (round 7)
-    labels = (edges.groupBy(F.col("dst").alias("node"))
-              .agg(F.least(F.col("dst"), F.min("src")).alias("lbl"))
-              .localCheckpoint(eager=False))
-    # one count materializes both checkpoints (labels scans edges) and
+    # aggregate(s) that would otherwise just distinct the node set, so
+    # the iteration starts one propagation step ahead for free (round 7)
+    if not dense:
+        labels = (edges.groupBy(F.col("dst").alias("node"))
+                  .agg(F.least(F.col("dst"), F.min("src")).alias("lbl"))
+                  .localCheckpoint(eager=False))
+    else:
+        labels = (
+            edges.groupBy(F.col("dst").alias("node"))
+            .agg(F.least(F.col("dst"), F.min("src")).alias("lbl"))
+            .unionByName(
+                edges.groupBy(F.col("src").alias("node"))
+                .agg(F.least(F.col("src"), F.min("dst")).alias("lbl")))
+            .groupBy("node").agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    # one count materializes the checkpoints (labels scans edges) and
     # yields the EXACT node count for the broadcast-vs-shuffle decision
     n_nodes = labels.count()
+    if edges1 is not None and edges is not edges1:
+        # the doubled table is materialized now — the single-direction
+        # staging checkpoint is dead weight
+        release(edges1)
     bcast = (lambda df: F.broadcast(df)) if n_nodes <= broadcast_max_nodes \
         else (lambda df: df)
 
     prev = labels
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(bcast(labels), edges["src"] == labels["node"])
-            .groupBy("dst").agg(F.min("lbl").alias("nlbl"))
-        )
+        if not dense:
+            neighbor_min = (
+                edges.join(bcast(labels), edges["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("__n"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+        else:
+            nb_dst = (
+                edges.join(bcast(labels), edges["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("__n"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            nb_src = (
+                edges.join(bcast(labels), edges["dst"] == labels["node"])
+                .groupBy(F.col("src").alias("__n"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            neighbor_min = (nb_dst.unionByName(nb_src)
+                            .groupBy("__n").agg(F.min("nlbl").alias("nlbl")))
         merged = (
             labels.join(bcast(neighbor_min),
-                        labels["node"] == neighbor_min["dst"], "left")
+                        labels["node"] == neighbor_min["__n"], "left")
             .select(F.col("node"), F.col("lbl").alias("old_lbl"),
                     F.least(F.col("lbl"), F.coalesce(F.col("nlbl"),
                                                      F.col("lbl"))).alias("lbl"))
@@ -719,6 +776,82 @@ def dup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str,
                    F.col("lbl").alias("cluster_id")).localCheckpoint())
     release(edges)
     release(prev)
+    return out
+
+
+def simhash_dup_clusters(df: DataFrame, id_col: str, text_col: str,
+                         max_hamming: int = 6, bits: int = 32,
+                         n_bands: int | None = None) -> DataFrame:
+    """Connected components over SimHash near-dup pairs — the
+    :func:`simhash_pairs` → :func:`dup_clusters` composition with a
+    density-adaptive EXACT signature contraction (round 7, sf1.0
+    hardening).
+
+    Documents sharing an identical signature are pairwise linked by
+    construction (equal signatures agree on every band and are at
+    hamming 0 ≤ max_hamming), so each signature-equivalence class can
+    contract into its min-id representative BEFORE the banded pair
+    join: an inter-class doc pair exists iff the same pair of signature
+    VALUES passes the band+hamming test, i.e. iff the representatives
+    are paired — components of the contracted graph expand to exactly
+    the components of the full doc graph, and the component minimum is
+    preserved (each representative is already its class minimum).
+    Output is therefore IDENTICAL to the uncontracted composition
+    (oracle hash pinned).
+
+    The regime is chosen by a ~free DENSITY PROBE: the banded
+    self-join's candidate volume is Σ n·(n−1)/2 over (band, value)
+    groups, and simhash bands have at most n_bands · 2^(bits/n_bands)
+    distinct keys (112 at 32/7) — one map-side-combined aggregate
+    collecting ~a hundred rows at ANY corpus size, upper-bounding the
+    true pair count. Below MORPH_KGC_SIMHASH_CONTRACT_MIN_CANDS
+    (default 50M) the direct sparse composition runs unchanged
+    (contraction overhead would outweigh its savings — measured ~+1 s
+    at sf0.1 where only 8% of signatures repeat); above it the
+    contraction engages and the clustering runs in dense
+    single-direction edge mode (at sf1.0: 164M raw doc pairs contract
+    to 54M signature pairs, the difference between an OOM and ~20 s).
+    """
+    import os
+
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    contract_min = int(os.environ.get(
+        "MORPH_KGC_SIMHASH_CONTRACT_MIN_CANDS", "50000000"))
+    sig = simhash(df, id_col, text_col, bits=bits).persist()
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    band_counts = (sig.select(F.expr("explode(array(%s))" % ", ".join(
+        f"struct({b} AS band, shiftright(simhash, {b * width}) & {mask} "
+        f"AS val)" for b in range(n_bands))).alias("bb"))
+        .groupBy("bb.band", "bb.val").count().collect())
+    cand_bound = sum(r["count"] * (r["count"] - 1) // 2
+                     for r in band_counts)
+
+    if cand_bound <= contract_min:
+        pairs = _simhash_pairs_from_sig(sig, id_col, max_hamming, bits,
+                                        n_bands)
+        out = dup_clusters(df.select(id_col), pairs, id_col, dense=False)
+        sig.unpersist()
+        return out
+
+    rep = (sig.groupBy("simhash").agg(F.min(id_col).alias("__rep"))
+           .persist())
+    reps = rep.select(F.col("__rep").alias(id_col), F.col("simhash"))
+    pairs = _simhash_pairs_from_sig(reps, id_col, max_hamming, bits, n_bands)
+    rc = dup_clusters(reps.select(id_col), pairs, id_col, dense=True)
+    rep_clusters = rc.withColumnRenamed(id_col, "__rep")
+    try:
+        out = (sig.join(rep, "simhash")
+               .join(rep_clusters, "__rep")
+               .select(F.col(id_col), F.col("cluster_id"))
+               .localCheckpoint())
+    finally:
+        # release the checkpoint-backed handle, not the renamed
+        # derivative (the wrapper attribute does not survive the rename)
+        cache.release(rc)
+        sig.unpersist()
+        rep.unpersist()
     return out
 
 
