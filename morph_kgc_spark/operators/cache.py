@@ -93,7 +93,8 @@ def _sweep_dead() -> None:
             _OWNED_BY_HASH.pop(h, None)
 
 
-def _release_instance(dep: DataFrame, h: int | None = None) -> None:
+def _release_instance(dep: DataFrame, h: int | None = None,
+                      exact_only: bool = False) -> None:
     """Drop ONE ownership instance of ``dep``; unpersist only when it
     was the LAST registered instance for its plan hash.
 
@@ -103,6 +104,16 @@ def _release_instance(dep: DataFrame, h: int | None = None) -> None:
     to gate the actual unpersist on the bucket emptying — releasing one
     of two concurrent identical runs must NOT force the other to
     recompute (round-6 advice, cache.py:441).
+
+    ``exact_only`` (the attribute-pass contract): the caller holds the
+    ORIGINAL dep wrapper, so its registration — if any — matches by
+    identity. When it does not match but other instances exist, those
+    instances belong to someone else (a concurrent identical run, or a
+    registration that failed in own()): decrementing one anyway would
+    let a later double release silently steal blocks a live run still
+    needs (round-7 ADVICE fix, cache.py:120). Only the hash-keyed
+    DERIVATIVE pass — which by construction passes a wrapper taken
+    from the bucket — may drop an arbitrary instance.
     """
     if h is None:
         try:
@@ -117,6 +128,11 @@ def _release_instance(dep: DataFrame, h: int | None = None) -> None:
     if any(r() is dep for r in bucket):
         bucket = [r for r in bucket if r() is not dep]
     elif bucket:
+        if exact_only:
+            # not registered here while other live instances exist:
+            # nothing of OURS to release, and the blocks are theirs
+            _OWNED_BY_HASH[h] = bucket
+            return
         bucket = bucket[:-1]  # derivative path: drop any one instance
     if bucket:
         _OWNED_BY_HASH[h] = bucket
@@ -166,11 +182,27 @@ def own(result: DataFrame, intermediates: list[DataFrame]) -> DataFrame:
     plans also share cache-manager blocks, so which instance's wrapper
     gets unpersisted is immaterial — block refcounting is what the
     bucket models. Release each owned result at most once.)
+
+    CAVEAT (registry self-bounding vs block lifetime): the registry
+    holds WEAK references, so an owning result dropped without
+    :func:`release` stops pinning driver memory — but its persisted
+    blocks stay in the cache manager with no remaining unpersist
+    handle until ``spark.catalog.clearCache()``. Callers that cannot
+    guarantee a release() call should prefer the eager (non-lazy)
+    operator mode, whose intermediates are unpersisted before the
+    operator returns.
     """
     owned = list(getattr(result, "_mkgc_owned", ()))
     for dep in intermediates:
         owned.extend(getattr(dep, "_mkgc_owned", ()))
         owned.append(dep)
+    # dedupe by wrapper identity: chaining the same dep twice (repeated
+    # own() of one wrapper) must not make release() decrement its
+    # registry instance twice (round-7 ADVICE fix, cache.py:120) — the
+    # registry records one instance per WRAPPER (identity-deduped
+    # below), so the attribute list must match that granularity
+    seen: set[int] = set()
+    owned = [d for d in owned if not (id(d) in seen or seen.add(id(d)))]
     result._mkgc_owned = owned
     _sweep_dead()
     # Full liveness-probe sweep only when some persisted-RDD id has
@@ -232,7 +264,7 @@ def release(df: DataFrame) -> None:
             released_hashes.add(h)
         except Exception:
             pass
-        _release_instance(dep, h)
+        _release_instance(dep, h, exact_only=True)
     if has_attr:
         df._mkgc_owned = []
     if not has_attr or released_hashes:

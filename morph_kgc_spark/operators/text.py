@@ -314,6 +314,12 @@ def length_histogram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Scale shape: one narrow projection + one aggregate whose key
     cardinality is ~64 (map-side combine leaves a few dozen rows per
     partition); the exchange is negligible at any corpus size.
+
+    ``id_col`` is accepted for signature uniformity with the sibling
+    per-document operators but unused: the output is corpus-level (no
+    per-document rows), so no id can appear in it (round-7 ADVICE,
+    text.py:301 — documented rather than dropped to keep every
+    text-operator call shape identical).
     """
     t = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                  lambda x: x != "")
@@ -349,6 +355,10 @@ def length_quantiles(df: DataFrame, id_col: str, text_col: str,
     Both engines compute lo + (hi − lo)·frac over the sorted domain in
     IEEE doubles → bit-identical (pinned by the oracle hash). One
     map-side-combinable aggregate; group cardinality = languages.
+
+    ``id_col`` is accepted for signature uniformity with the sibling
+    per-document operators but unused: the output is one row per
+    ``group_col`` value (see length_histogram's matching note).
     """
     t = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                  lambda x: x != "")

@@ -217,13 +217,18 @@ def _schema_cache_key(path: str) -> str:
     p = path.strip()
     if p.startswith("file:"):
         # both URI spellings reach here: 'file:///x' / 'file:/x'
-        # (Hadoop itself emits the single-slash form); 'file://host/x'
-        # authority forms keep the host and fall through to rstrip
+        # (Hadoop itself emits the single-slash form)
         p = p[len("file:"):]
         if p.startswith("//") and (len(p) == 2 or p[2] == "/"):
             p = p[2:]
+        elif p.startswith("//"):
+            # authority form 'file://host/x': keep the host and key it
+            # verbatim — realpath() would treat '//host/x' as a local
+            # path and variant spellings could then miss/invalidate the
+            # wrong entry (round-7 ADVICE fix, registry.py:223)
+            return p.rstrip("/")
     if "://" in p or not p.startswith("/"):
-        return p.rstrip("/")  # remote URI / authority form: no local fs
+        return p.rstrip("/")  # remote URI: no local fs to resolve
     return os.path.realpath(p)
 
 

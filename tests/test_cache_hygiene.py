@@ -227,3 +227,59 @@ def test_registry_self_bounds_after_clear_cache(spark):
     C._sweep()
     assert sum(len(v) for v in C._OWNED_BY_HASH.values()) == 0
     spark.catalog.clearCache()  # drop `again`'s (documented) block leak
+
+
+def test_double_chained_dep_cannot_steal_concurrent_instance(spark):
+    """Round-7 ADVICE fix (cache.py:120): chaining the SAME dep wrapper
+    twice via repeated own() used to leave it twice in _mkgc_owned; the
+    attribute pass then released two instances — the second via the
+    any-one fallback, stealing a concurrent identical run's instance
+    and unpersisting blocks it still needed. own() now dedupes the
+    owned list by wrapper identity and the attribute pass only
+    decrements exact-identity registrations."""
+    from morph_kgc_spark.operators import cache as C
+
+    before = persistent_rdd_ids(spark)
+    docs = _docs(spark)
+    a = D.ngram_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=3,
+                             lazy=True)
+    dep = a._mkgc_owned[0]
+    C.own(a, [dep])  # chain the same wrapper again
+    assert sum(1 for d in a._mkgc_owned if d is dep) == 1, \
+        "own() must dedupe the owned list by wrapper identity"
+    b = D.ngram_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=3,
+                             lazy=True)
+    a.count()
+    release(a)
+    assert persistent_rdd_ids(spark) - before, \
+        "releasing the double-chained owner must not steal b's instance"
+    b.count()
+    release(b)
+    assert persistent_rdd_ids(spark) - before == set()
+
+
+def test_unregistered_dep_release_leaves_live_instances(spark):
+    """Round-7 ADVICE fix (cache.py:120), failed-registration leg: an
+    attribute-pass dep whose own() registration is gone must NOT
+    decrement someone else's live instance (exact_only semantics); with
+    no other instance the blocks are unpersisted as before."""
+    from morph_kgc_spark.operators import cache as C
+
+    before = persistent_rdd_ids(spark)
+    docs = _docs(spark)
+    a = D.ngram_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=3,
+                             lazy=True)
+    b = D.ngram_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=3,
+                             lazy=True)
+    # simulate a's registration having failed: drop ONLY a's weakref
+    dep = a._mkgc_owned[0]
+    h = int(dep._jdf.queryExecution().analyzed().semanticHash())
+    C._OWNED_BY_HASH[h] = [r for r in C._OWNED_BY_HASH[h]
+                           if r() is not dep]
+    a.count()
+    release(a)
+    assert persistent_rdd_ids(spark) - before, \
+        "unregistered dep must not take b's instance down with it"
+    b.count()
+    release(b)
+    assert persistent_rdd_ids(spark) - before == set()

@@ -519,3 +519,8 @@ def test_parquet_schema_cache_key_normalization(spark):
     assert R._schema_cache_key("file://" + path) == key
     R.invalidate_parquet_schema_cache(path + "/")  # variant spelling
     assert key not in R._PARQUET_SCHEMAS
+    # authority form 'file://host/x' keeps the host verbatim (round-7
+    # ADVICE fix, registry.py:223): it must NOT be realpath'd as the
+    # local path '//host/x', and its spellings normalize to one key
+    assert R._schema_cache_key("file://nas01/data/t") == "//nas01/data/t"
+    assert R._schema_cache_key("file://nas01/data/t/") == "//nas01/data/t"
