@@ -819,14 +819,26 @@ def simhash_dup_clusters(df: DataFrame, id_col: str, text_col: str,
     contract_min = int(os.environ.get(
         "MORPH_KGC_SIMHASH_CONTRACT_MIN_CANDS", "50000000"))
     sig = simhash(df, id_col, text_col, bits=bits).persist()
-    width = bits // n_bands
-    mask = (1 << width) - 1
-    band_counts = (sig.select(F.expr("explode(array(%s))" % ", ".join(
-        f"struct({b} AS band, shiftright(simhash, {b * width}) & {mask} "
-        f"AS val)" for b in range(n_bands))).alias("bb"))
-        .groupBy("bb.band", "bb.val").count().collect())
-    cand_bound = sum(r["count"] * (r["count"] - 1) // 2
-                     for r in band_counts)
+    # corpus-count shortcut: n·(n−1)/2 upper-bounds the banded
+    # candidate volume for ANY signature distribution, so a corpus
+    # small enough on the raw count alone is PROVABLY sparse without
+    # the band-probe aggregate — one parquet-count job (footer
+    # statistics, no data scan) replaces a signature-materializing
+    # explode+groupBy job. Corpora above the bound still pay the
+    # exact probe; the branch decision — hence the output — is
+    # identical either way.
+    n_docs = df.count()
+    if n_docs * (n_docs - 1) // 2 <= contract_min:
+        cand_bound = 0
+    else:
+        width = bits // n_bands
+        mask = (1 << width) - 1
+        band_counts = (sig.select(F.expr("explode(array(%s))" % ", ".join(
+            f"struct({b} AS band, shiftright(simhash, {b * width}) & {mask} "
+            f"AS val)" for b in range(n_bands))).alias("bb"))
+            .groupBy("bb.band", "bb.val").count().collect())
+        cand_bound = sum(r["count"] * (r["count"] - 1) // 2
+                         for r in band_counts)
 
     if cand_bound <= contract_min:
         pairs = _simhash_pairs_from_sig(sig, id_col, max_hamming, bits,
