@@ -267,3 +267,54 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     assert cents[1] == [0.0, 0.0]  # kept via the empty-cell fallback
     assert cents[0] != [0.0, 0.0]  # cell 0 moved to the members' mean
     assert all(x is not None for c in cents for x in c)
+
+
+# ---------------------------------------------------------------------------
+# round-7 sf1.0 hardening: signature contraction + dense CC edge mode
+# ---------------------------------------------------------------------------
+
+
+def _cluster_rows(df):
+    return sorted((r["doc_id"], r["cluster_id"]) for r in df.collect())
+
+
+def test_simhash_contraction_parity(spark, monkeypatch):
+    """The density-adaptive contraction (equal-signature docs collapse
+    into min-id representatives before the banded join, CC in dense
+    single-direction edge mode) must produce EXACTLY the direct sparse
+    composition's clusters. Forced via the env threshold because the
+    contraction only engages above 50M banded candidates by default."""
+    from morph_kgc_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct = _cluster_rows(
+        D.simhash_dup_clusters(docs, "doc_id", "text", max_hamming=6))
+    monkeypatch.setenv("MORPH_KGC_SIMHASH_CONTRACT_MIN_CANDS", "0")
+    contracted = _cluster_rows(
+        D.simhash_dup_clusters(docs, "doc_id", "text", max_hamming=6))
+    assert contracted == direct
+
+
+def test_dup_clusters_dense_mode_parity(spark, monkeypatch):
+    """dense=True (single-direction edges, both-side per-round
+    aggregates) and the dense=None staging decision must yield the
+    same fixpoint as the sparse doubled-edge mode."""
+    from morph_kgc_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ids = docs.select("doc_id")
+
+    def pairs():
+        return D.simhash_pairs(docs, "doc_id", "text", max_hamming=6,
+                               lazy=True)
+
+    sparse = _cluster_rows(D.dup_clusters(ids, pairs(), "doc_id",
+                                          dense=False))
+    dense = _cluster_rows(D.dup_clusters(ids, pairs(), "doc_id",
+                                         dense=True))
+    assert dense == sparse
+    # dense=None decides from a staging checkpoint count; forcing the
+    # threshold to 0 routes even this tiny graph through dense mode
+    monkeypatch.setenv("MORPH_KGC_CC_DUAL_EDGE_MAX", "0")
+    decided = _cluster_rows(D.dup_clusters(ids, pairs(), "doc_id"))
+    assert decided == sparse
